@@ -1,0 +1,8 @@
+"""Device-mesh construction, sharding specs and collective helpers (GSPMD)."""
+
+from peclr_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)

@@ -1,10 +1,11 @@
 """ResNet-18/34/50/101/152 encoder family in Flax (NHWC, TPU-native).
 
 The module tree is named so every parameter corresponds 1:1 to a torchvision
-ResNet state-dict entry (conv1, bn1, layer{1..4}.{i}.conv{j}/bn{j}/downsample)
-— checkpoint-level interop with the released PeCLR `.pth` weights is a parity
-requirement (reference: src/models/resnet_model.py:6-55, which repackages
-torchvision resnets; port tool src/models/port_model.py:7-48).
+ResNet state-dict entry (conv1, bn1, layer{i}_{j} blocks with
+conv/bn/downsample) — checkpoint-level interop with the released PeCLR
+`.pth` weights is a parity requirement (reference: src/models/resnet_model.py
+repackages torchvision resnets; port tool src/models/port_model.py:7-48).
+See models/port.py for the name mapping.
 
 TPU notes:
   * NHWC + channels-last convolutions map directly onto XLA's TPU conv
@@ -17,15 +18,14 @@ TPU notes:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 ModuleDef = Any
 
-#: stage template per resnet size: (block, blocks-per-stage)
+#: stage template per resnet size: (block kind, blocks-per-stage)
 RESNET_SPECS = {
     "18": ("basic", (2, 2, 2, 2)),
     "34": ("basic", (3, 4, 6, 3)),
@@ -38,28 +38,8 @@ RESNET_SPECS = {
 EMBED_DIM = {"18": 512, "34": 512, "50": 2048, "101": 2048, "152": 2048}
 
 
-class TorchBatchNorm(nn.Module):
-    """BatchNorm with torch semantics: eps=1e-5, momentum 0.1 on running
-    stats, affine scale/bias.  Stats are kept in the 'batch_stats'
-    collection in f32."""
-
-    use_running_average: bool = True
-    momentum: float = 0.9  # flax convention: new = m*old + (1-m)*batch
-    epsilon: float = 1e-5
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=self.momentum,
-            epsilon=self.epsilon,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
-
-
-def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+def _conv(features, kernel, stride, name, dtype):
+    """Bias-free conv with torch-style symmetric padding (kernel//2)."""
     return nn.Conv(
         features,
         (kernel, kernel),
@@ -72,62 +52,72 @@ def conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
     )
 
 
+def _bn(train, name, dtype):
+    """BatchNorm with torch semantics: eps=1e-5, running-stat momentum 0.1
+    (flax momentum 0.9), f32 params/stats."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
-    norm: ModuleDef = TorchBatchNorm
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         identity = x
-        out = conv(self.features, 3, self.stride, name="conv1", dtype=self.dtype)(x)
-        out = self.norm(dtype=self.dtype, name="bn1")(out)
+        out = _conv(self.features, 3, self.stride, "conv1", self.dtype)(x)
+        out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
-        out = conv(self.features, 3, 1, name="conv2", dtype=self.dtype)(out)
-        out = self.norm(dtype=self.dtype, name="bn2")(out)
+        out = _conv(self.features, 3, 1, "conv2", self.dtype)(out)
+        out = _bn(train, "bn2", self.dtype)(out)
         if self.downsample:
-            identity = conv(
-                self.features, 1, self.stride, name="downsample_conv", dtype=self.dtype
+            identity = _conv(
+                self.features, 1, self.stride, "downsample_conv", self.dtype
             )(x)
-            identity = self.norm(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(out + identity)
 
 
 class Bottleneck(nn.Module):
-    features: int  # bottleneck width; output is 4x
+    features: int  # bottleneck width; block output is 4x
     stride: int = 1
     downsample: bool = False
-    norm: ModuleDef = TorchBatchNorm
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         identity = x
-        out = conv(self.features, 1, 1, name="conv1", dtype=self.dtype)(x)
-        out = self.norm(dtype=self.dtype, name="bn1")(out)
+        out = _conv(self.features, 1, 1, "conv1", self.dtype)(x)
+        out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
-        # torchvision puts the stride on the 3x3 conv
-        out = conv(self.features, 3, self.stride, name="conv2", dtype=self.dtype)(out)
-        out = self.norm(dtype=self.dtype, name="bn2")(out)
+        # torchvision places the stride on the 3x3 conv
+        out = _conv(self.features, 3, self.stride, "conv2", self.dtype)(out)
+        out = _bn(train, "bn2", self.dtype)(out)
         out = nn.relu(out)
-        out = conv(self.features * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
-        out = self.norm(dtype=self.dtype, name="bn3")(out)
+        out = _conv(self.features * 4, 1, 1, "conv3", self.dtype)(out)
+        out = _bn(train, "bn3", self.dtype)(out)
         if self.downsample:
-            identity = conv(
-                self.features * 4, 1, self.stride,
-                name="downsample_conv", dtype=self.dtype,
+            identity = _conv(
+                self.features * 4, 1, self.stride, "downsample_conv", self.dtype
             )(x)
-            identity = self.norm(dtype=self.dtype, name="downsample_bn")(identity)
+            identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(out + identity)
 
 
 class ResNetEncoder(nn.Module):
     """Backbone producing the pooled embedding (…, EMBED_DIM[size]).
 
-    `train=True` uses batch statistics (and updates the 'batch_stats'
-    collection); `train=False` uses running averages.
+    `train=True` uses batch statistics and updates the 'batch_stats'
+    collection; `train=False` uses running averages (torch eval mode).
     """
 
     size: str = "50"
@@ -137,19 +127,17 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         block_kind, stages = RESNET_SPECS[self.size]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
-        norm = partial(TorchBatchNorm, use_running_average=not train)
-        block = partial(block_cls, norm=norm, dtype=self.dtype)
+        expansion = 1 if block_kind == "basic" else 4
 
         x = x.astype(self.dtype)
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
         )(x)
-        x = norm(dtype=self.dtype, name="bn1")(x)
+        x = _bn(train, "bn1", self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        expansion = 1 if block_kind == "basic" else 4
         in_features = 64
         for stage_idx, num_blocks in enumerate(stages):
             features = 64 * (2**stage_idx)
@@ -158,12 +146,13 @@ class ResNetEncoder(nn.Module):
                 needs_down = block_idx == 0 and (
                     stride != 1 or in_features != features * expansion
                 )
-                x = block(
+                x = block_cls(
                     features=features,
                     stride=stride,
                     downsample=needs_down,
+                    dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x)
+                )(x, train=train)
                 in_features = features * expansion
 
         # global average pool == AdaptiveAvgPool2d((1,1))

@@ -73,13 +73,13 @@ def root_depth(joints25d, K):
         + (z_n - z_m) ** 2
         - 1.0
     )
-    disc = jnp.clip(b * b - 4.0 * a * c, a_min=_EPS)
+    disc = jnp.clip(b * b - 4.0 * a * c, min=_EPS)
     sqrt_disc = jnp.sqrt(disc)
     # Larger root of a·z² + b·z + c, computed in the cancellation-free form:
     # (−b+√disc)/(2a) loses all f32 precision when b>0 and |4ac| ≪ b²; the
     # algebraically identical 2c/(−b−√disc) is stable there (bf16/f32 TPU
     # arithmetic makes this restructuring load-bearing, not cosmetic).
-    a_safe = jnp.clip(a, a_min=_EPS)
+    a_safe = jnp.clip(a, min=_EPS)
     root_classic = 0.5 * (-b + sqrt_disc) / a_safe
     denom = -b - sqrt_disc
     root_stable = 2.0 * c / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)

@@ -1,0 +1,195 @@
+"""Host-side input pipeline: decode -> canvas-standardize -> batch ->
+prefetch to device.
+
+The reference's hot loop is per-sample Python/OpenCV inside DataLoader worker
+processes (SURVEY §3.2) — the throughput bottleneck.  Here the host only
+decodes JPEGs (threaded; a C++ decoder backs this when built — see native/)
+and standardizes each frame onto a fixed uint8 canvas; ALL augmentation math
+runs batched on device (ops/augment.py).  Batches are double-buffered onto
+the device so decode overlaps the train step.
+
+Canvas standardization: frames whose size differs from the canvas (YT3DH)
+are cropped around the hand (side = 3.2x the max keypoint radius, clamped to
+the frame) and resized; joints and K are updated by the same affine
+(K' = T @ K, the reference's supervised-path convention, data_set.py:305).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from peclr_tpu.data.sampler import BalancedSampler, EpochSampler
+
+
+def decode_image(path: str) -> np.ndarray:
+    """JPEG -> RGB uint8 (native decoder if built, else cv2/PIL)."""
+    from peclr_tpu.data import native_loader
+
+    if native_loader.available():
+        img = native_loader.decode(path)
+        if img is not None:
+            return img
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        return img[:, :, ::-1].copy()  # BGR -> RGB
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def project_to_25d_np(K: np.ndarray, joints3d: np.ndarray):
+    """Host-side numpy twin of geometry.camera.convert_to_2_5d."""
+    scale = np.linalg.norm(joints3d[2] - joints3d[0])
+    uvw = (K @ joints3d.T).T / joints3d[:, 2:3]
+    z_rel = (joints3d[:, 2] - joints3d[0, 2]) / scale
+    out = np.concatenate([uvw[:, :2], z_rel[:, None]], axis=1)
+    return out.astype(np.float32), np.float32(scale)
+
+
+def standardize_canvas(
+    img: np.ndarray, joints25d: np.ndarray, K: np.ndarray, canvas: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit a frame onto a (canvas, canvas) uint8 image, updating joints and
+    K by the applied affine."""
+    h, w = img.shape[:2]
+    if h == canvas and w == canvas:
+        return img, joints25d, K
+    import cv2
+
+    cx, cy = joints25d[:, 0].mean(), joints25d[:, 1].mean()
+    rad = np.sqrt(
+        ((joints25d[:, 0] - cx) ** 2 + (joints25d[:, 1] - cy) ** 2)
+    ).max()
+    side = float(np.clip(3.2 * rad, canvas / 4, min(h, w)))
+    ox = float(np.clip(cx - side / 2, 0, max(w - side, 0)))
+    oy = float(np.clip(cy - side / 2, 0, max(h - side, 0)))
+    s = canvas / side
+    T = np.array([[s, 0, -ox * s], [0, s, -oy * s], [0, 0, 1]], np.float32)
+    out = cv2.warpAffine(img, T[:2], (canvas, canvas), flags=cv2.INTER_AREA)
+    j = joints25d.copy()
+    j[:, 0] = joints25d[:, 0] * s - ox * s
+    j[:, 1] = joints25d[:, 1] * s - oy * s
+    return out, j, (T @ K).astype(np.float32)
+
+
+class HostPipeline:
+    """Assembles fixed-shape numpy batches from one or more sources.
+
+    sources: list of objects exposing __len__, image_path(i), record(i)
+    (data/freihand.py, data/youtube.py).  Batches contain:
+      images (B, canvas, canvas, 3) uint8, joints25d (B, 21, 3),
+      K (B, 3, 3), scale (B,), joints_valid (B, 21, 1), joints3d (B, 21, 3)
+    """
+
+    def __init__(
+        self,
+        sources: Sequence,
+        batch_size: int,
+        canvas: int = 224,
+        seed: int = 5,
+        num_threads: int = 8,
+        balanced: Optional[bool] = None,
+        shuffle: bool = True,
+    ):
+        self.sources = list(sources)
+        self.batch_size = batch_size
+        self.canvas = canvas
+        self.num_threads = num_threads
+        if balanced is None:
+            balanced = len(self.sources) > 1
+        self.balanced = balanced
+        self.shuffle = shuffle
+        self.seed = seed
+        if balanced:
+            self.sampler = BalancedSampler([len(s) for s in self.sources], seed)
+        else:
+            self.sampler = EpochSampler(len(self.sources[0]), seed, shuffle)
+
+    def __len__(self):
+        return sum(len(s) for s in self.sources)
+
+    def steps_per_epoch(self) -> int:
+        return len(self) // self.batch_size
+
+    def _load_one(self, src_id: int, idx: int) -> Dict[str, np.ndarray]:
+        source = self.sources[src_id]
+        rec = source.record(idx)
+        img = decode_image(source.image_path(idx))
+        j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
+        img, j25d, K = standardize_canvas(img, j25d, rec["K"], self.canvas)
+        return {
+            "image": img,
+            "joints25d": j25d,
+            "K": K,
+            "scale": scale,
+            "joints_valid": rec["joints_valid"],
+            "joints3d": rec["joints3d"],
+            "metric_scale": rec.get("metric_scale", np.float32(1.0)),
+        }
+
+    def _collate(self, samples: List[Dict[str, np.ndarray]]):
+        return {
+            k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
+        }
+
+    def batches(self, num_batches: int, epoch: int = 0) -> Iterator[dict]:
+        """Yield `num_batches` batches (threaded decode)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.balanced:
+            draws = self.sampler.draw(num_batches * self.batch_size)
+        else:
+            order = self.sampler.epoch(epoch)
+            reps = int(np.ceil(num_batches * self.batch_size / len(order)))
+            order = np.tile(order, max(reps, 1))[: num_batches * self.batch_size]
+            draws = [(0, int(i)) for i in order]
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            for b in range(num_batches):
+                chunk = draws[b * self.batch_size: (b + 1) * self.batch_size]
+                samples = list(pool.map(lambda d: self._load_one(*d), chunk))
+                yield self._collate(samples)
+
+
+def device_prefetch(batch_iter, mesh=None, buffer_size: int = 2):
+    """Move host batches to device ahead of consumption (double-buffered).
+
+    With a mesh, leading axes are sharded over the mesh's data axis so each
+    chip receives only its slice over ICI-attached hosts.
+    """
+    import jax
+
+    if mesh is not None:
+        from peclr_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        put = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+    else:
+        put = lambda tree: jax.tree_util.tree_map(jax.device_put, tree)
+
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                q.put(put(batch))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item

@@ -1,0 +1,122 @@
+"""Data-layer tests: synthetic FreiHAND fixture, source indexing/splits,
+host pipeline batching, native decoder parity, balanced sampling."""
+
+import numpy as np
+import pytest
+
+from peclr_tpu.data.freihand import FreihandSource, pseudo_bound_box, seeded_split
+from peclr_tpu.data.pipeline import HostPipeline, project_to_25d_np
+from peclr_tpu.data.sampler import BalancedSampler
+from peclr_tpu.data.synthetic import generate_freihand_like
+
+
+@pytest.fixture(scope="module")
+def fh_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("freihand")
+    return generate_freihand_like(str(root), num_unique=16, seed=1)
+
+
+class TestFreihandSource:
+    def test_split_structure(self, fh_root):
+        train = FreihandSource(fh_root, "train", seed=5, train_ratio=0.75)
+        val = FreihandSource(fh_root, "val", seed=5, train_ratio=0.75)
+        # 4 versions of each unique frame; train/val partition the uniques
+        assert len(train) == 4 * 12 and len(val) == 4 * 4
+        tr_unique = set(train.indices % 16)
+        va_unique = set(val.indices % 16)
+        assert tr_unique.isdisjoint(va_unique)
+        assert tr_unique | va_unique == set(range(16))
+
+    def test_versions_share_labels(self, fh_root):
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        n = len(src) // 4
+        r0 = src.record(0)
+        r1 = src.record(n)  # same unique frame, next version
+        np.testing.assert_array_equal(r0["joints3d"], r1["joints3d"])
+
+    def test_joints_project_into_frame(self, fh_root):
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        rec = src.record(3)
+        j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
+        assert scale > 0
+        # hands are roughly framed (a few joints may spill past the border,
+        # as in the real dataset)
+        assert j25d[:, 0].min() > -40 and j25d[:, 0].max() < 264
+        assert j25d[:, 1].min() > -40 and j25d[:, 1].max() < 264
+
+    def test_seeded_split_deterministic(self):
+        a_tr, a_va = seeded_split(100, 0.9, seed=5)
+        b_tr, b_va = seeded_split(100, 0.9, seed=5)
+        np.testing.assert_array_equal(a_tr, b_tr)
+        assert len(a_tr) == 90 and len(a_va) == 10
+
+    def test_pseudo_bound_box(self):
+        box = pseudo_bound_box(scale=0.33, crop_size=224)
+        assert box.shape == (21, 3)
+        np.testing.assert_allclose(box[0], [112.0, 112.0, 0.0])
+        s = 112 * 0.33
+        np.testing.assert_allclose(box[1], [112 + s, 112 + s, 1.0])
+
+
+class TestHostPipeline:
+    def test_batch_shapes_and_consistency(self, fh_root):
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        pipe = HostPipeline([src], batch_size=8, canvas=224, num_threads=2)
+        batch = next(pipe.batches(1))
+        assert batch["image"].shape == (8, 224, 224, 3)
+        assert batch["image"].dtype == np.uint8
+        assert batch["joints25d"].shape == (8, 21, 3)
+        assert batch["K"].shape == (8, 3, 3)
+        # synthetic frames paint dots at the joints; verify the dots are there
+        img = batch["image"][0]
+        j = batch["joints25d"][0]
+        hits = sum(
+            img[int(y) - 2: int(y) + 3, int(x) - 2: int(x) + 3].max() > 100
+            for x, y, _ in j
+            if 2 < x < 221 and 2 < y < 221
+        )
+        assert hits >= 15
+
+    def test_epoch_determinism(self, fh_root):
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        pipe = HostPipeline([src], batch_size=4, seed=7, num_threads=1)
+        b1 = next(pipe.batches(1, epoch=0))
+        b2 = next(pipe.batches(1, epoch=0))
+        np.testing.assert_array_equal(b1["image"], b2["image"])
+
+
+class TestBalancedSampler:
+    def test_equal_source_probability(self):
+        sampler = BalancedSampler([10, 10000], seed=0)
+        draws = sampler.draw(4000)
+        counts = np.bincount([s for s, _ in draws], minlength=2)
+        # each source drawn ~half the time despite 1000x size imbalance
+        assert abs(counts[0] - counts[1]) < 400
+
+
+class TestNativeLoader:
+    def test_native_matches_cv2(self, fh_root):
+        from peclr_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        cv2 = pytest.importorskip("cv2")
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        path = src.image_path(0)
+        ours = native_loader.decode(path)
+        ref = cv2.imread(path)[:, :, ::-1]
+        assert ours is not None and ours.shape == ref.shape
+        # JPEG decoders may differ by a ULP in IDCT rounding
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+    def test_native_batch(self, fh_root):
+        from peclr_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        paths = [src.image_path(i) for i in range(4)]
+        out = native_loader.decode_batch_to_canvas(paths, canvas=224, threads=2)
+        assert out is not None and out.shape == (4, 224, 224, 3)
+        single = native_loader.decode(paths[0])
+        np.testing.assert_array_equal(out[0], single)

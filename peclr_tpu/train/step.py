@@ -1,0 +1,170 @@
+"""Jitted PeCLR training step: device-side augmentation + encoder +
+equivariant NT-Xent + grad-accumulated optimizer update, all in ONE program.
+
+Layout of one step (reference call stack SURVEY §3.3, re-architected):
+
+    batch (accum*B raw uint8 canvases + keypoints)           [device, sharded]
+      └─ lax.scan over `accum` microbatches:
+           augment_pair  -> two views + equivariance params  [fused warp]
+           encoder+head  -> projections (bf16 convs, f32 head)
+           peclr_projections -> inverse transforms
+           ntxent_loss   -> per-microbatch loss (negatives span the
+                            microbatch's global 2B, matching the reference's
+                            accumulate_grad_batches semantics)
+           grad          -> accumulated mean
+      └─ one optimizer update (LARS+Adam+schedule)
+
+The whole step is a single jit; under a mesh the batch axis is sharded over
+'data' and XLA inserts the gradient psum and the NT-Xent all_gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
+from peclr_tpu.losses.equivariance import peclr_projections
+from peclr_tpu.losses.ntxent import ntxent_loss
+from peclr_tpu.ops.augment import augment_pair
+from peclr_tpu.train.state import TrainState
+
+
+def projection_stats(proj, name: str) -> Dict[str, jnp.ndarray]:
+    """Per-axis stats of the (B, 64, 2) projection cloud — logging parity
+    with hybrid2_model.get_projection_stats (hybrid2_model.py:92-106)."""
+    pts = proj.reshape(proj.shape[0], -1, 2)
+    out = {}
+    for red, rname in ((jnp.mean, "mean"), (jnp.median, "median"),
+                       (jnp.min, "min"), (jnp.max, "max")):
+        val = jnp.mean(red(pts, axis=1), axis=0)
+        out[f"{name}x_{rname}"] = val[0]
+        out[f"{name}y_{rname}"] = val[1]
+    return out
+
+
+def make_peclr_train_step(
+    model,
+    tx,
+    flags: AugmentationFlags,
+    aug_params: AugmentationParams,
+    accum: int = 1,
+    temperature: float = 0.5,
+    augmentations: Optional[Sequence[str]] = None,
+    with_stats: bool = True,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(state, batch, key) -> (state, metrics) where batch contains
+    'image' (accum*B, H, W, 3) uint8 and 'joints25d' (accum*B, 21, 3).
+    """
+    if augmentations is None:
+        augmentations = flags.active()
+    image_size = tuple(aug_params.resize_shape)
+
+    def micro_loss(params, batch_stats, images, joints, key):
+        v1, v2 = augment_pair(key, images, joints, flags, aug_params)
+        both = jnp.concatenate([v1.images, v2.images], axis=0)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            both,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        proj = out["projection"]
+        b = proj.shape[0] // 2
+        z1, z2 = peclr_projections(
+            proj[:b], proj[b:], v1.params, v2.params,
+            image_size=image_size, augmentations=augmentations,
+        )
+        loss = ntxent_loss(z1, z2, temperature)
+        stats = {}
+        if with_stats:
+            stats = {
+                **projection_stats(jax.lax.stop_gradient(proj[:b]), "proj1"),
+                **projection_stats(jax.lax.stop_gradient(proj[b:]), "proj2"),
+            }
+        return loss, (mutated["batch_stats"], stats)
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
+        images = batch["image"]
+        joints = batch["joints25d"]
+        n = images.shape[0]
+        mb = n // accum
+        images = images.reshape(accum, mb, *images.shape[1:])
+        joints = joints.reshape(accum, mb, *joints.shape[1:])
+        keys = jax.random.split(key, accum)
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            grads_acc, loss_acc, batch_stats = carry
+            mb_images, mb_joints, mb_key = xs
+            (loss, (new_stats, stats)), grads = grad_fn(
+                state.params, batch_stats, mb_images, mb_joints, mb_key
+            )
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g, grads_acc, grads
+            )
+            return (grads_acc, loss_acc + loss, new_stats), stats
+
+        (grads, loss_sum, batch_stats), stats_seq = jax.lax.scan(
+            body,
+            (zero_grads, jnp.zeros(()), state.batch_stats),
+            (images, joints, keys),
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        metrics = {
+            "loss": loss_sum / accum,
+            **{k: v[-1] for k, v in stats_seq.items()},
+        }
+        new_state = dataclasses.replace(
+            state,
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_peclr_eval_step(
+    model,
+    flags: AugmentationFlags,
+    aug_params: AugmentationParams,
+    temperature: float = 0.5,
+    augmentations: Optional[Sequence[str]] = None,
+) -> Callable:
+    """Validation step: same loss, eval-mode batch norm, no update."""
+    if augmentations is None:
+        augmentations = flags.active()
+    image_size = tuple(aug_params.resize_shape)
+
+    def eval_step(state: TrainState, batch, key):
+        v1, v2 = augment_pair(
+            key, batch["image"], batch["joints25d"], flags, aug_params
+        )
+        both = jnp.concatenate([v1.images, v2.images], axis=0)
+        out = model.apply(state.variables, both, train=False)
+        proj = out["projection"]
+        b = proj.shape[0] // 2
+        z1, z2 = peclr_projections(
+            proj[:b], proj[b:], v1.params, v2.params,
+            image_size=image_size, augmentations=augmentations,
+        )
+        return {"loss": ntxent_loss(z1, z2, temperature)}
+
+    return jax.jit(eval_step)

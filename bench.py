@@ -1,0 +1,94 @@
+"""Benchmark: aug+train images/sec/chip for the RN50 PeCLR pretrain step.
+
+Runs the full jitted step — device-side augmentation (fused warp + color
+jitter), ResNet-50 encoder + projection head in bf16, equivariant NT-Xent,
+LARS/Adam update — on one chip with data resident in HBM (host decode is
+overlapped in production and benchmarked separately).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 4,000 aug+train images/sec/chip (BASELINE.md north star).
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_IMG_PER_SEC = 4000.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
+    from peclr_tpu.models import PeCLRModel
+    from peclr_tpu.train.optimizer import build_optimizer
+    from peclr_tpu.train.state import TrainState
+    from peclr_tpu.train.step import make_peclr_train_step
+
+    model = PeCLRModel(resnet_size="50", dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    )
+    tx, _ = build_optimizer(
+        variables["params"], base_lr=1e-4, batch_size=batch, accum=1,
+        steps_per_epoch=1000, epochs=100, warmup_epochs=10, optimizer="LARS",
+    )
+    state = TrainState.create(variables, tx)
+
+    flags = peclr_pretrain_flags()
+    aug = AugmentationParams()  # 224 canvas -> 128x128 views
+    step = make_peclr_train_step(
+        model, tx, flags, aug, accum=1, with_stats=False, donate=True
+    )
+
+    rng = np.random.default_rng(0)
+    canvas = 224
+    batch_dict = {
+        "image": jax.device_put(
+            rng.integers(0, 256, size=(batch, canvas, canvas, 3), dtype=np.uint8)
+        ),
+        "joints25d": jax.device_put(
+            np.concatenate(
+                [
+                    rng.uniform(60, 160, (batch, 21, 2)).astype(np.float32),
+                    rng.normal(size=(batch, 21, 1)).astype(np.float32),
+                ],
+                axis=-1,
+            )
+        ),
+    }
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    for i in range(3):
+        state, metrics = step(state, batch_dict, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch_dict, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "aug+train images/sec/chip (RN50 PeCLR, batch "
+                f"{batch}, bf16)",
+                "value": round(img_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Minimum end-to-end slice (BASELINE config 1 analog): real file-backed
+dataset -> host pipeline -> fused device augmentation -> jitted PeCLR train
+steps -> loss decreases -> checkpoint round-trips through the torch port."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from peclr_tpu.config.defaults import (
+    AugmentationParams,
+    ModelConfig,
+    TrainConfig,
+    peclr_pretrain_flags,
+)
+from peclr_tpu.data.freihand import FreihandSource
+from peclr_tpu.data.pipeline import HostPipeline
+from peclr_tpu.data.synthetic import generate_freihand_like
+
+
+@pytest.fixture(scope="module")
+def fh_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("freihand_e2e")
+    return generate_freihand_like(str(root), num_unique=32, seed=3)
+
+
+@pytest.fixture(scope="module")
+def small_cfgs():
+    train_cfg = TrainConfig(
+        batch_size=16,
+        accumulate_grad_batches=1,
+        epochs=3,
+        seed=5,
+        precision="f32",
+        augmentation_flags=peclr_pretrain_flags(),
+        augmentation_params=AugmentationParams(resize_shape=(32, 32)),
+    )
+    model_cfg = ModelConfig(
+        resnet_size="18",
+        projection_head_input_dim=512,
+        lr=5e-4,
+        warmup_epochs=1,
+        optimizer="LARS",
+        augmentation=("crop", "rotate", "color_jitter", "resize"),
+    )
+    return train_cfg, model_cfg
+
+
+def test_full_slice(fh_root, small_cfgs, tmp_path, monkeypatch):
+    import peclr_tpu.train.loop as loop_mod
+
+    monkeypatch.setattr(
+        loop_mod, "SAVED_META_INFO_PATH", str(tmp_path / "meta")
+    )
+    monkeypatch.setattr(
+        loop_mod, "SAVED_MODELS_BASE_PATH", str(tmp_path / "models")
+    )
+    train_cfg, model_cfg = small_cfgs
+    src = FreihandSource(fh_root, "train", seed=5, train_ratio=0.75)
+    assert len(src) == 96  # 24 unique x 4 versions
+    pipe = HostPipeline([src], batch_size=16, canvas=64, seed=5, num_threads=2)
+
+    trainer = loop_mod.PeCLRTrainer(
+        train_cfg, model_cfg, pipe,
+        workdir=str(tmp_path / "work"),
+        experiment_name="e2e_test",
+        save_top_k=2,
+        auto_resume=False,
+    )
+    state = trainer.fit(epochs=3)
+
+    # -- loss decreased across epochs --------------------------------------
+    import json
+
+    metrics_path = os.path.join(trainer.tracker.dir, "metrics.jsonl")
+    records = [json.loads(line) for line in open(metrics_path)]
+    epoch_losses = [
+        r["loss"] for r in records if r.get("context") == "train" and "loss" in r
+        and r.get("epoch") is not None and r.get("step") is None
+    ]
+    assert len(epoch_losses) == 3
+    assert epoch_losses[-1] < epoch_losses[0], epoch_losses
+
+    # -- checkpoints: top-k retained, resumable -----------------------------
+    kept = sorted(os.listdir(trainer.ckpt.directory))
+    assert sum(d.startswith("epoch_") for d in kept) <= 2
+
+    import jax
+
+    restored, epoch = trainer.ckpt.restore(jax.device_get(state))
+    assert restored is not None and epoch is not None
+
+    # -- torch-port round trip ----------------------------------------------
+    from peclr_tpu.models import port
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    sd = port.variables_to_peclr_checkpoint(variables, "18")
+    back = port.peclr_checkpoint_to_variables(sd, "18")
+    import flax
+
+    a = flax.traverse_util.flatten_dict(variables)
+    b = flax.traverse_util.flatten_dict(back)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_cli_config_merge():
+    from peclr_tpu.cli.train import build_parser, configs_from_args
+
+    args = build_parser().parse_args(
+        [
+            "--rotate", "--crop", "--color_jitter", "--resize",
+            "-batch_size", "128", "-accumulate_grad_batches", "16",
+            "-epochs", "100", "-resnet_size", "50", "-optimizer", "LARS",
+            "-sources", "freihand", "-sources", "youtube",
+        ]
+    )
+    train_cfg, model_cfg = configs_from_args(args)
+    assert train_cfg.batch_size == 128
+    assert train_cfg.accumulate_grad_batches == 16
+    assert train_cfg.sources == ("freihand", "youtube")
+    flags = train_cfg.augmentation_flags
+    assert flags.crop and flags.rotate and flags.color_jitter and flags.resize
+    assert not flags.gaussian_blur
+    assert model_cfg.num_of_mini_batch == 16
+    assert model_cfg.projection_head_input_dim == 2048
+    assert set(model_cfg.augmentation) == {"crop", "rotate", "color_jitter", "resize"}
+
+
+def test_experiment_naming():
+    from peclr_tpu.utils.logging import prepare_name
+
+    name = prepare_name(
+        "hybrid2_", 128, ["crop", "rotate", "color_jitter", "resize"]
+    )
+    assert name == "hybrid2_128C_CJ_Re_Ro"

@@ -103,3 +103,36 @@ def generate_freihand_like(
     with open(os.path.join(root_dir, "training_scale.json"), "w") as f:
         json.dump(scales, f)
     return root_dir
+
+
+def generate_freihand_eval_like(
+    root_dir: str, num_images: int = 8, seed: int = 1, size: int = 224
+) -> str:
+    """Create a miniature FreiHAND *evaluation* split (images + K + metric
+    scale, no joint labels — the leaderboard layout)."""
+    rng = np.random.default_rng(seed)
+    rgb = os.path.join(root_dir, "evaluation", "rgb")
+    os.makedirs(rgb, exist_ok=True)
+    try:
+        import cv2
+
+        def save(path, img):
+            cv2.imwrite(path, img[:, :, ::-1])
+    except ImportError:
+        from PIL import Image
+
+        def save(path, img):
+            Image.fromarray(img).save(path, quality=92)
+
+    Ks, scales = [], []
+    for i in range(num_images):
+        joints_ait = _random_hand_3d(rng)
+        K = np.asarray(_K, np.float32)
+        save(os.path.join(rgb, f"{i:08d}.jpg"), _render(joints_ait, K, rng, size))
+        Ks.append(K.tolist())
+        scales.append(float(np.linalg.norm(joints_ait[2] - joints_ait[0])))
+    with open(os.path.join(root_dir, "evaluation_K.json"), "w") as f:
+        json.dump(Ks, f)
+    with open(os.path.join(root_dir, "evaluation_scale.json"), "w") as f:
+        json.dump(scales, f)
+    return root_dir

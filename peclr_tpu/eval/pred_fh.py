@@ -1,0 +1,156 @@
+"""FreiHAND leaderboard inference — the testing/pred_fh.py equivalent.
+
+Two-pass protocol (reference testing/pred_fh.py:80-126):
+  1. predict on a fixed center crop (bbox = full frame scaled by 0.33,
+     mapped into the crop with target_dist 0.7);
+  2. bound-box the predicted 2D keypoints, project the box back to the
+     original frame through the inverse affine, re-create the affine
+     (target_dist 0.7) and predict again on the refined crop;
+  3. kp3d -> palm->wrist -> AIT->Zimmermann order -> x metric scale.
+
+TPU re-architecture: both passes are fully *batched* jitted programs (warp +
+ResNet + z-root head in one graph per pass); the reference loops the 3,960
+eval images one by one through cv2 + CUDA.  Output is the CodaLab
+pred_{rn50,rn152}.json + .zip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peclr_tpu.geometry import affine
+from peclr_tpu.geometry.camera import move_palm_to_wrist
+from peclr_tpu.geometry.joints import permutation
+from peclr_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+from peclr_tpu.ops.warp import affine_warp
+
+BBOX_SCALE = 0.33
+CROP_SIZE = 224
+TARGET_DIST = 0.7
+#: cv2 borderValue quirk: the reference passes the ImageNet mean in [0,1]
+#: units to a uint8 warp, so the border is effectively ~0.485/255
+BORDER_FILL = 0.485
+
+
+def initial_affine(crop_size: int = CROP_SIZE) -> np.ndarray:
+    """The shared pass-1 transform: full-frame bbox scaled by 0.33."""
+    bbox = jnp.asarray([0.0, 0.0, float(crop_size), float(crop_size)])
+    bbox = affine.modify_bbox(bbox, BBOX_SCALE)
+    return np.asarray(affine.affine_from_bbox(bbox, crop_size, TARGET_DIST))
+
+
+def _preprocess(images_u8, T):
+    """warp + ImageNet-normalize; T: (B, 3, 3) source->crop."""
+    crop = affine_warp(
+        images_u8.astype(jnp.float32), T, (CROP_SIZE, CROP_SIZE),
+        fill_value=BORDER_FILL,
+    )
+    return (crop / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def bbox_from_kp2d(kp2d):
+    """(B, 21, 2) -> (B, 4) int-truncated min/max box
+    (fh_utils.get_bbox_from_pose)."""
+    x1 = jnp.trunc(jnp.min(kp2d[..., 0], axis=1))
+    y1 = jnp.trunc(jnp.min(kp2d[..., 1], axis=1))
+    x2 = jnp.trunc(jnp.max(kp2d[..., 0], axis=1))
+    y2 = jnp.trunc(jnp.max(kp2d[..., 1], axis=1))
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def make_two_pass_predictor(model, variables) -> Callable:
+    """Returns predict(images_u8 (B,224,224,3), K (B,3,3)) -> kp3d (B,21,3)
+    — the full two-pass pipeline as one jitted function."""
+
+    T0 = jnp.asarray(initial_affine())
+
+    @jax.jit
+    def predict(images_u8, K):
+        b = images_u8.shape[0]
+        T1 = jnp.broadcast_to(T0, (b, 3, 3))
+        img1 = _preprocess(images_u8, T1)
+        K1 = jnp.einsum("bij,bjk->bik", T1, K)
+        out1 = model.apply(variables, img1, K=K1, train=False)
+        kp2d = out1["kp25d"][..., :2]
+
+        # box in crop coords -> original frame via inverse affine
+        box = bbox_from_kp2d(kp2d)
+        corners = jnp.stack(
+            [box[:, :2], box[:, 2:]], axis=1
+        )  # (B, 2, 2): (x1,y1), (x2,y2)
+        corners_orig = affine.apply_affine(affine.invert_affine(T1), corners)
+        box_orig = jnp.concatenate(
+            [corners_orig[:, 0, :], corners_orig[:, 1, :]], axis=-1
+        )
+        T2 = affine.affine_from_bbox(box_orig, CROP_SIZE, TARGET_DIST)
+
+        img2 = _preprocess(images_u8, T2)
+        K2 = jnp.einsum("bij,bjk->bik", T2, K)
+        out2 = model.apply(variables, img2, K=K2, train=False)
+        kp3d = out2["kp3d"]
+        return move_palm_to_wrist(kp3d)
+
+    return predict
+
+
+def predict_leaderboard(
+    model,
+    variables,
+    base_path: str,
+    out_name: str,
+    batch_size: int = 120,
+    set_name: str = "evaluation",
+    limit: Optional[int] = None,
+    out_dir: str = "out",
+) -> str:
+    """Run the eval set, dump CodaLab pred_{out_name}.json(.zip).
+
+    Returns the json path.  `limit` restricts the image count (testing).
+    """
+    from peclr_tpu.data.pipeline import decode_image
+
+    with open(os.path.join(base_path, f"{set_name}_K.json")) as f:
+        K_list = np.asarray(json.load(f), np.float32)
+    with open(os.path.join(base_path, f"{set_name}_scale.json")) as f:
+        scale_list = np.asarray(json.load(f), np.float32)
+
+    n = len(K_list) if limit is None else min(limit, len(K_list))
+    predict = make_two_pass_predictor(model, variables)
+    ait_to_zimmermann = permutation("ait", "freihand")
+
+    xyz_out = []
+    img_dir = os.path.join(base_path, set_name, "rgb")
+    names = sorted(os.listdir(img_dir))
+    for start in range(0, n, batch_size):
+        idx = range(start, min(start + batch_size, n))
+        imgs = np.stack([decode_image(os.path.join(img_dir, names[i])) for i in idx])
+        pad = batch_size - len(imgs)
+        K = K_list[list(idx)]
+        if pad:  # keep the jit shape static
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            K = np.concatenate([K, np.repeat(K[-1:], pad, 0)])
+        kp3d = np.asarray(predict(jnp.asarray(imgs), jnp.asarray(K)))
+        if pad:
+            kp3d = kp3d[:-pad]
+        for j, i in enumerate(idx):
+            out = kp3d[j][ait_to_zimmermann] * scale_list[i]
+            assert not np.any(np.isnan(out)), f"NaN at index {i}"
+            xyz_out.append(out.tolist())
+
+    verts_out = [np.zeros((778, 3)).tolist()] * len(xyz_out)
+    os.makedirs(out_dir, exist_ok=True)
+    json_path = os.path.join(out_dir, f"pred_{out_name}.json")
+    with open(json_path, "w") as f:
+        json.dump([xyz_out, verts_out], f)
+    with zipfile.ZipFile(json_path.replace(".json", ".zip"), "w",
+                         zipfile.ZIP_DEFLATED) as z:
+        z.write(json_path, os.path.basename(json_path))
+    return json_path

@@ -1,0 +1,199 @@
+"""Evaluation + fine-tune tests: supervised sample prep consistency
+(K'=T@K), EPE/PCK/AUC metrics, full evaluate() with an oracle predictor,
+two-pass leaderboard inference, pretrained-encoder transfer."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
+from peclr_tpu.data.freihand import FreihandSource
+from peclr_tpu.data.pipeline import HostPipeline
+from peclr_tpu.data.synthetic import (
+    generate_freihand_eval_like,
+    generate_freihand_like,
+)
+from peclr_tpu.eval import metrics as M
+from peclr_tpu.eval.evaluate import evaluate, supervised_sample_batch
+
+
+@pytest.fixture(scope="module")
+def fh_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("freihand_eval"))
+    generate_freihand_like(root, num_unique=16, seed=2)
+    generate_freihand_eval_like(root, num_images=6, seed=4)
+    return root
+
+
+def get_batch(fh_root, n=8):
+    src = FreihandSource(fh_root, "train", train_ratio=0.75)
+    pipe = HostPipeline([src], batch_size=n, canvas=224, num_threads=2)
+    raw = next(pipe.batches(1))
+    return {k: jnp.asarray(v) for k, v in raw.items()}
+
+
+class TestSupervisedSample:
+    def test_recreated_3d_matches_ground_truth(self, fh_root):
+        """The reference's own sanity check (Median_EPE_3D_R_V_3D): 2.5D
+        labels in crop coords + K'=T@K must lift back to the true 3D."""
+        batch = get_batch(fh_root)
+        flags = AugmentationFlags(crop=True, rotate=True, resize=True)
+        sample = supervised_sample_batch(
+            jax.random.PRNGKey(0), batch, flags, AugmentationParams()
+        )
+        err = np.abs(
+            np.asarray(sample["joints3D_recreated"]) - np.asarray(batch["joints3d"])
+        )
+        assert np.median(err) < 5e-3  # meters
+
+    def test_use_palm(self, fh_root):
+        batch = get_batch(fh_root, n=4)
+        flags = AugmentationFlags(resize=True)
+        sample = supervised_sample_batch(
+            jax.random.PRNGKey(0), batch, flags, AugmentationParams(),
+            use_palm=True,
+        )
+        palm = (batch["joints3d"][:, 0] + batch["joints3d"][:, 2]) / 2.0
+        np.testing.assert_allclose(
+            np.asarray(sample["joints3D"][:, 0]), np.asarray(palm), atol=1e-6
+        )
+
+
+class TestMetrics:
+    def test_pck_and_auc_perfect(self):
+        dist = np.zeros((10, 21))
+        assert M.auc(dist) == pytest.approx(1.0, abs=0.02)
+
+    def test_auc_decreases_with_error(self, rng):
+        good = rng.uniform(0, 0.01, (50, 21))
+        bad = rng.uniform(0, 0.3, (50, 21))
+        assert M.auc(good) > M.auc(bad)
+
+    def test_pck_monotone(self, rng):
+        dist = rng.uniform(0, 0.5, (40, 21))
+        curve, _ = M.pck_curve(dist)
+        assert np.all(np.diff(curve) >= 0)
+
+    def test_procrustes_statistics_aligned_perfect(self, rng):
+        X = rng.normal(size=(5, 21, 3)).astype(np.float32)
+        # Y is a rotated+scaled+shifted copy -> aligned EPE ~ 0
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        q *= np.linalg.det(q)
+        Y = 1.7 * X @ q.T + rng.normal(size=(5, 1, 3)).astype(np.float32)
+        stats = M.procrustes_statistics(Y, X)
+        assert stats["Mean_EPE_3D_procrustes"] < 1e-3
+        assert stats["auc_procrustes"] > 0.99
+
+
+class TestEvaluate:
+    def test_oracle_predictor_scores_perfectly(self, fh_root):
+        """Feed the ground-truth 2.5D back as 'prediction': EPE ~ 0."""
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        pipe = HostPipeline([src], batch_size=8, canvas=224, num_threads=2)
+        flags = AugmentationFlags(resize=True)
+        aug = AugmentationParams(resize_shape=(128, 128))
+
+        stash = {}
+
+        def oracle(images, K):
+            # recover labels from the already-built sample: the evaluate()
+            # loop stores ground truth identically, so return it via closure
+            return stash.pop("joints")
+
+        # monkey-wrap: capture each batch's sample labels
+        from peclr_tpu.eval import evaluate as ev
+
+        orig = ev.supervised_sample_batch
+
+        def capturing(key, batch, flags_, params_, use_palm=False):
+            s = orig(key, batch, flags_, params_, use_palm)
+            stash["joints"] = s["joints"]
+            return s
+
+        ev.supervised_sample_batch, saved = capturing, orig
+        try:
+            results = evaluate(oracle, pipe, flags, aug, num_batches=2)
+        finally:
+            ev.supervised_sample_batch = saved
+        assert results["Mean_EPE_2D"] < 1e-3
+        assert results["Mean_EPE_3D"] < 5e-2
+        assert results["Median_EPE_3D_R_V_3D"] < 5e-3
+        assert results["AUC"] > 0.9
+        assert "auc_procrustes" in results
+
+
+class TestFinetune:
+    def test_step_runs_and_learns(self, fh_root):
+        from peclr_tpu.models import RN25DPose
+        from peclr_tpu.train.finetune import make_finetune_step
+        from peclr_tpu.train.optimizer import build_optimizer
+        from peclr_tpu.train.state import TrainState
+
+        model = RN25DPose(size="50")
+        batch = get_batch(fh_root, n=4)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+        )
+        tx, _ = build_optimizer(
+            variables["params"], base_lr=1e-4, batch_size=4, accum=1,
+            steps_per_epoch=10, epochs=5, optimizer="adam",
+        )
+        state = TrainState.create(variables, tx)
+        flags = AugmentationFlags(crop=True, resize=True)
+        step = make_finetune_step(
+            model, tx, flags, AugmentationParams(), loss_3d_weight=0.1,
+            donate=False,
+        )
+        losses = []
+        for i in range(4):
+            state, metrics = step(state, batch, jax.random.PRNGKey(7))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert "loss_3d" in metrics and "loss_z_unscaled" in metrics
+
+    def test_pretrained_encoder_transfer(self):
+        from peclr_tpu.models import PeCLRModel, RN25DPose, port
+        from peclr_tpu.train.finetune import load_pretrained_encoder
+
+        peclr = PeCLRModel(resnet_size="50", dtype=jnp.float32)
+        pv = peclr.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        sd = port.variables_to_peclr_checkpoint(pv, "50")
+
+        rn = RN25DPose(size="50")
+        rv = rn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)))
+        merged = load_pretrained_encoder(rv, sd, "50")
+        np.testing.assert_array_equal(
+            np.asarray(merged["params"]["backbone"]["conv1"]["kernel"]),
+            np.asarray(pv["params"]["encoder"]["conv1"]["kernel"]),
+        )
+        # fc head untouched
+        np.testing.assert_array_equal(
+            np.asarray(merged["params"]["fc"]["kernel"]),
+            np.asarray(rv["params"]["fc"]["kernel"]),
+        )
+
+
+class TestPredFH:
+    def test_two_pass_leaderboard(self, fh_root, tmp_path):
+        from peclr_tpu.models import RN25DPose
+        from peclr_tpu.eval.pred_fh import predict_leaderboard
+
+        model = RN25DPose(size="50")
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+        )
+        out = predict_leaderboard(
+            model, variables, fh_root, "rn50", batch_size=6, limit=6,
+            out_dir=str(tmp_path),
+        )
+        with open(out) as f:
+            xyz, verts = json.load(f)
+        assert len(xyz) == 6 and len(verts) == 6
+        assert np.asarray(xyz[0]).shape == (21, 3)
+        assert os.path.exists(out.replace(".json", ".zip"))
+        assert np.isfinite(np.asarray(xyz)).all()

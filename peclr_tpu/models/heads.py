@@ -104,6 +104,23 @@ class ZrootRefineMLP(nn.Module):
         return zroot + delta[:, 0]
 
 
+class Denoiser(nn.Module):
+    """Z-root denoiser MLP: (21 zrel + 42 2D + 1 scale logit = 64) -> 128 ->
+    128 -> 1 refined z-root (reference get_denoiser,
+    src/models/utils.py:379-388; consumed by the evaluation suite when a
+    model carries a denoiser)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Dense(128, param_dtype=jnp.float32, name="lin1")(x)
+        h = _bn1d(train, "bn1")(h)
+        h = nn.relu(h)
+        h = nn.Dense(128, param_dtype=jnp.float32, name="lin2")(h)
+        h = _bn1d(train, "bn2")(h)
+        h = nn.relu(h)
+        return nn.Dense(1, param_dtype=jnp.float32, name="lin3")(h)
+
+
 def _bn1d(train, name):
     return nn.BatchNorm(
         use_running_average=not train,

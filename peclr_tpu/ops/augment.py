@@ -247,6 +247,37 @@ def augment_batch(
     )
 
 
+def relative_params(
+    params1: Dict[str, jnp.ndarray],
+    params2: Dict[str, jnp.ndarray],
+    flags: AugmentationFlags,
+) -> Dict[str, jnp.ndarray]:
+    """Relative transform parameters between the two views — the pairwise
+    experiment's regression targets (reference get_relative_param,
+    data_set.py:436-469): crop jitter delta, color-factor deltas, blur-flag
+    XOR, rotation delta mod 360."""
+    rel: Dict[str, jnp.ndarray] = {}
+    if flags.crop:
+        rel["jitter"] = jnp.stack(
+            [
+                params1["jitter_x"] - params2["jitter_x"],
+                params1["jitter_y"] - params2["jitter_y"],
+            ],
+            axis=-1,
+        )
+    if flags.color_jitter:
+        rel["color_jitter"] = jnp.stack(
+            [params1[k] - params2[k] for k in ("h", "s", "a", "b")], axis=-1
+        )
+    if flags.gaussian_blur:
+        rel["blur"] = jnp.abs(params1["blur_flag"] - params2["blur_flag"])[
+            :, None
+        ]
+    if flags.rotate:
+        rel["rotation"] = ((params1["angle"] - params2["angle"]) % 360.0)[:, None]
+    return rel
+
+
 def augment_pair(
     key: jax.Array,
     images_u8: jnp.ndarray,

@@ -52,7 +52,9 @@ class PeCLRTrainer:
         tags: Sequence[str] = (),
         profile_dir: Optional[str] = None,
         auto_resume: bool = True,
+        log_images: bool = True,
     ):
+        self.log_images = log_images
         self.log = get_console_logger("peclr_tpu.train")
         self.train_cfg = train_cfg
         self.model_cfg = model_cfg
@@ -157,6 +159,8 @@ class PeCLRTrainer:
                     step_key = jax.random.fold_in(
                         key, epoch * self.steps_per_epoch + i
                     )
+                    if i == 0 and self.log_images:
+                        self._log_pair_figure(batch, step_key, epoch)
                     self.state, metrics = self.train_step(
                         self.state, batch, step_key
                     )
@@ -177,6 +181,10 @@ class PeCLRTrainer:
                 "loss", np.inf
             )
             mean_metrics.update(meter.report())
+            # LearningRateMonitor parity: current schedule value
+            mean_metrics["lr"] = float(
+                self.schedule(int(jax.device_get(self.state.step)))
+            )
             self.tracker.log_metrics(mean_metrics, epoch=epoch)
             self.log.info(
                 f"epoch {epoch}: loss={mean_metrics['loss']:.4f} "
@@ -189,6 +197,35 @@ class PeCLRTrainer:
 
             self.ckpt.save(epoch, jax.device_get(self.state), mean_metrics)
         return self.state
+
+    def _log_pair_figure(self, batch, key, epoch: int):
+        """Save an augmented-pair figure for the first sample of the epoch
+        (the reference's per-epoch Comet image logging,
+        upload_comet_logs.py:38-101)."""
+        try:
+            from peclr_tpu.ops.augment import augment_pair
+            from peclr_tpu.utils.visualize import plot_peclr_pair
+
+            v1, v2 = augment_pair(
+                key,
+                batch["image"][:1],
+                batch["joints25d"][:1],
+                self.train_cfg.augmentation_flags,
+                self.train_cfg.augmentation_params,
+            )
+            params = {
+                **{f"{k}_1": np.asarray(v) for k, v in v1.params.items()},
+                **{f"{k}_2": np.asarray(v) for k, v in v2.params.items()},
+            }
+            plot_peclr_pair(
+                np.asarray(v1.images[0]),
+                np.asarray(v2.images[0]),
+                params,
+                out_dir=os.path.join(self.tracker.dir, "figures"),
+                name=f"pair_epoch{epoch}.png",
+            )
+        except Exception as e:  # figures must never kill training
+            self.log.warning(f"pair-figure logging failed: {e}")
 
     def validate(self, epoch: int, num_batches: Optional[int] = None):
         n = num_batches or max(

@@ -62,6 +62,10 @@ def build_parser(description: str = "PeCLR pretraining (TPU)"):
                    help="jax.profiler trace output dir (first epoch)")
     p.add_argument("-canvas", type=int, default=224,
                    help="host canvas size fed to the device augmenter")
+    p.add_argument("-experiment_type", type=str, default="hybrid2",
+                   choices=["hybrid2", "simclr"],
+                   help="hybrid2 = PeCLR (equivariant); simclr = invariant "
+                        "baseline (no inverse transforms in projection space)")
     return p
 
 

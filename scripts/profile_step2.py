@@ -63,7 +63,9 @@ def main():
         tx, _ = build_optimizer(
             variables["params"], 1e-4, B, 1, 1000, 100, optimizer=opt
         )
-        state = TrainState.create(variables, tx)
+        # fresh buffers per variant: donated steps delete their inputs
+        fresh = jax.tree_util.tree_map(jnp.array, variables)
+        state = TrainState.create(fresh, tx)
         step = make_peclr_train_step(
             model, tx, flags, aug, accum=1, with_stats=with_stats, donate=donate
         )

@@ -16,7 +16,7 @@ Example (the published PeCLR recipe, README.md:49-57):
 from __future__ import annotations
 
 import argparse
-import dataclasses
+
 
 from peclr_tpu.config.defaults import ModelConfig, TrainConfig
 

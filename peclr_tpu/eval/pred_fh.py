@@ -19,8 +19,8 @@ from __future__ import annotations
 import json
 import os
 import zipfile
-from functools import partial
-from typing import Callable, Dict, Optional
+
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ and checkpoint stack.  Pretrained PeCLR encoders load through models/port.py
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ throughput/profiler observability.
 from __future__ import annotations
 
 import os
-import time
 from typing import Dict, Optional, Sequence
 
 import jax

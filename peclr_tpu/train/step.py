@@ -21,8 +21,8 @@ The whole step is a single jit; under a mesh the batch axis is sharded over
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Dict, Optional, Sequence, Tuple
+
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

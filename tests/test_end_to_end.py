@@ -2,7 +2,7 @@
 dataset -> host pipeline -> fused device augmentation -> jitted PeCLR train
 steps -> loss decreases -> checkpoint round-trips through the torch port."""
 
-import dataclasses
+
 import os
 
 import numpy as np

@@ -4,7 +4,7 @@ global-batch semantics, equivariant transform properties, supervised losses."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 from peclr_tpu.losses import (
     epe_metrics,

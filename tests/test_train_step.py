@@ -2,7 +2,7 @@
 equivariant NT-Xent -> LARS/Adam update) on tiny shapes, plus sharded
 execution on the virtual mesh."""
 
-import dataclasses
+
 
 import jax
 import jax.numpy as jnp

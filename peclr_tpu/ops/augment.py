@@ -41,7 +41,20 @@ import jax.numpy as jnp
 from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
 from peclr_tpu.geometry.affine import rotation_about_center
 from peclr_tpu.ops import image as im
-from peclr_tpu.ops.warp import affine_warp
+from peclr_tpu.ops.warp import affine_warp as affine_warp_gather
+from peclr_tpu.ops.warp_mxu import affine_warp_mxu
+
+#: warp backend: "mxu" routes the bilinear warp through matmuls (fast on
+#: TPU — see ops/warp_mxu.py), "gather" is the direct 4-tap gather (exact
+#: reference semantics; slow on TPU, fine on CPU).  The augmentation
+#: geometry guarantees the mxu constraints (|angle| <= 45°, crop <= source).
+WARP_BACKEND = "mxu"
+
+
+def affine_warp(images, matrices, out_hw, fill_value: float = 0.0):
+    if WARP_BACKEND == "mxu":
+        return affine_warp_mxu(images, matrices, out_hw, fill_value)
+    return affine_warp_gather(images, matrices, out_hw, fill_value)
 
 
 @dataclasses.dataclass

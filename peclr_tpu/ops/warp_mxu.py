@@ -1,0 +1,145 @@
+"""MXU-native affine warp: two-pass (Catmull-Smith) decomposition that turns
+the bilinear warp into two banded matmuls + row/column shifts.
+
+The direct gather warp (ops/warp.py) is exact but gather-bound on TPU
+(~12 ns/tap — the VPU has no fast arbitrary gather).  This version routes
+the heavy lifting through the MXU:
+
+  inverse map (out -> src):  x_s = A·i + B·j + TX ;  y_s = C·i + D·j + TY
+
+  pass 1 (horizontal, per source row y):
+      positions p(y, i) = α·i + β·y + γ   with α = A − BC/D, β = B/D,
+      γ = TX − B·TY/D  (valid for D ≠ 0, i.e. |rotation| < 90°)
+      = per-row shift by k(y)+f(y) (integer + fractional, a 2-tap lerp of
+        contiguous dynamic slices) followed by a per-image banded matmul
+        W1[u, i] = tent(α·i − u)                        [MXU]
+
+  pass 2 (vertical, per column i):
+      positions q(i, j) = D·j + (C·i + TY) = per-column shift by the
+      integer+fractional part of (C·i + TY), then a per-image banded matmul
+      W2[j, y] = tent(D·j − y)                          [MXU]
+
+Interpolation: linear taps in each pass (a lerp-of-lerp — equal to direct
+bilinear up to second-order terms; keypoint/affine math is unchanged).
+Border: zero outside the source, enforced by an exact validity mask from the
+direct inverse map.
+
+Cost per 224->128 image: ~2·224·224·128·3 MACs ≈ 77 MFLOP — ~100x less wall
+time than the gather at TPU matmul rates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _inv3_affine(m):
+    """Closed-form inverse of a batch of 2D homogeneous affines (..., 3, 3)."""
+    a, b, tx = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    c, d, ty = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    det = a * d - b * c
+    ia = d / det
+    ib = -b / det
+    ic = -c / det
+    id_ = a / det
+    itx = (b * ty - d * tx) / det
+    ity = (c * tx - a * ty) / det
+    zeros = jnp.zeros_like(a)
+    ones = jnp.ones_like(a)
+    return jnp.stack(
+        [
+            jnp.stack([ia, ib, itx], axis=-1),
+            jnp.stack([ic, id_, ity], axis=-1),
+            jnp.stack([zeros, zeros, ones], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _shift_rows(images, offsets, pad: int):
+    """Shift every row y of every image by a real offset o[b, y]:
+    out[b, y, u] = img(b, y, u + o) via integer dynamic-slice + 2-tap lerp.
+
+    images: (B, H, W, C); offsets: (B, H).  Returns (B, H, W + pad, C)
+    sampled at u = 0..W+pad-1 (reads outside the source give 0).
+    """
+    b, h, w, c = images.shape
+    out_w = w + pad
+    k = jnp.floor(offsets)
+    f = (offsets - k)[..., None, None]
+    # generous zero padding so every slice start is in range
+    lo = int(out_w + 4)
+    hi = int(out_w + 4)
+    padded = jnp.pad(images, ((0, 0), (0, 0), (lo, hi), (0, 0)))
+    start = jnp.clip(k.astype(jnp.int32) + lo, 0, lo + w + hi - out_w - 1)
+
+    def slice_row(row, s):
+        return jax.lax.dynamic_slice(row, (s, 0), (out_w + 1, c))
+
+    sliced = jax.vmap(jax.vmap(slice_row))(padded, start)  # (B,H,out_w+1,C)
+    return sliced[:, :, :-1, :] * (1.0 - f) + sliced[:, :, 1:, :] * f
+
+
+def _tent_matrix(slopes, n_in: int, n_out: int):
+    """(B, n_in, n_out) banded bilinear-tap matrix:
+    M[b, u, i] = max(0, 1 − |slope_b·i − u|)."""
+    i = jnp.arange(n_out, dtype=jnp.float32)[None, None, :]
+    u = jnp.arange(n_in, dtype=jnp.float32)[None, :, None]
+    pos = slopes[:, None, None] * i
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - u))
+
+
+def affine_warp_mxu(
+    images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 2.0
+):
+    """Drop-in replacement for ops.warp.affine_warp (same signature).
+
+    Constraints (always satisfied by the augmentation and leaderboard
+    paths; use the gather warp otherwise):
+      * rotations within ±90° (the vertical component D stays positive);
+      * the source extent covered by one output row/column is at most
+        `max_scale` * out size (i.e. downscale factor ≤ max_scale beyond
+        which contributions are silently zero).
+    """
+    bsz, src_h, src_w, c = images.shape
+    out_h, out_w = out_hw
+    x = images.astype(jnp.float32)
+    inv = _inv3_affine(matrices.astype(jnp.float32))
+    A, B, TX = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
+    C, D, TY = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
+    D_safe = jnp.where(jnp.abs(D) < 1e-6, 1e-6, D)
+
+    alpha = A - B * C / D_safe
+    beta = B / D_safe
+    gamma = TX - B * TY / D_safe
+
+    # static widths covering sampling positions alpha*i / D*j
+    u_size = int(max(src_w, max_scale * out_w)) + 2
+    v_size = int(max(src_h, max_scale * out_h)) + 2
+
+    # ---- pass 1: horizontal --------------------------------------------
+    rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
+    shifted = _shift_rows(x, rows_off, pad=u_size - src_w)  # (B, H, U, C)
+    w1 = _tent_matrix(alpha, u_size, out_w)
+    tmp = jnp.einsum(
+        "bhuc,bui->bhic", shifted, w1, preferred_element_type=jnp.float32
+    )  # (B, H, out_w, C)
+
+    # ---- pass 2: vertical ----------------------------------------------
+    cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]
+    tmp_t = jnp.swapaxes(tmp, 1, 2)  # (B, out_w, H, C)
+    shifted_v = _shift_rows(tmp_t, cols_off, pad=v_size - src_h)  # (B, out_w, V, C)
+    w2 = _tent_matrix(D, v_size, out_h)
+    out = jnp.einsum(
+        "bivc,bvj->bjic", shifted_v, w2, preferred_element_type=jnp.float32
+    )  # (B, out_h, out_w, C)
+
+    # ---- exact border mask from the direct inverse map ------------------
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    sx = A[:, None, None] * gx + B[:, None, None] * gy + TX[:, None, None]
+    sy = C[:, None, None] * gx + D[:, None, None] * gy + TY[:, None, None]
+    valid = (sx > -1.0) & (sx < src_w) & (sy > -1.0) & (sy < src_h)
+    return jnp.where(valid[..., None], out, fill_value)

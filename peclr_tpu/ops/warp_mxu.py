@@ -57,28 +57,51 @@ def _inv3_affine(m):
     )
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _shift_rows(images, offsets, pad: int):
     """Shift every row y of every image by a real offset o[b, y]:
-    out[b, y, u] = img(b, y, u + o) via integer dynamic-slice + 2-tap lerp.
+    out[b, y, u] = img(b, y, u + o), u in [0, W+pad), zero outside the
+    source, fractional part via a 2-tap lerp.
 
-    images: (B, H, W, C); offsets: (B, H).  Returns (B, H, W + pad, C)
-    sampled at u = 0..W+pad-1 (reads outside the source give 0).
+    Gather-free: the integer shift is a barrel shifter — log2(range) stages
+    of static jnp.roll selected per row by the shift's bits.  Static rolls
+    are cheap lane permutes on TPU, and per-row bit masks are vectorized
+    selects, so the whole thing is VPU/bandwidth work with no gathers or
+    dynamic slices (both of which are slow or unsupported on the TPU
+    toolchain).
     """
     b, h, w, c = images.shape
     out_w = w + pad
-    k = jnp.floor(offsets)
-    f = (offsets - k)[..., None, None]
-    # generous zero padding so every slice start is in range
-    lo = int(out_w + 4)
-    hi = int(out_w + 4)
-    padded = jnp.pad(images, ((0, 0), (0, 0), (lo, hi), (0, 0)))
-    start = jnp.clip(k.astype(jnp.int32) + lo, 0, lo + w + hi - out_w - 1)
+    k_true = jnp.floor(offsets)
+    f = (offsets - k_true)[..., None, None]
+    k_min = -(out_w + 2)
+    k = jnp.clip(k_true, k_min, w).astype(jnp.int32)
+    s = k - k_min  # >= 0, <= w - k_min
+    max_s = w - k_min
 
-    def slice_row(row, s):
-        return jax.lax.dynamic_slice(row, (s, 0), (out_w + 1, c))
+    # content placed at column -k_min of the padded row; u-th output reads
+    # padded[u + s]; width covers u+s without wraparound
+    total = _round_up(w - k_min + out_w + 2, 128)
+    x = jnp.pad(
+        images.astype(jnp.float32), ((0, 0), (0, 0), (-k_min, total - w + k_min), (0, 0))
+    )
 
-    sliced = jax.vmap(jax.vmap(slice_row))(padded, start)  # (B,H,out_w+1,C)
-    return sliced[:, :, :-1, :] * (1.0 - f) + sliced[:, :, 1:, :] * f
+    num_bits = max_s.bit_length()
+    for bit in range(num_bits):
+        amount = 1 << bit
+        take = ((s >> bit) & 1).astype(bool)[..., None, None]
+        x = jnp.where(take, jnp.roll(x, -amount, axis=2), x)
+
+    window = x[:, :, : out_w + 1, :]
+    out = window[:, :, :-1, :] * (1.0 - f) + window[:, :, 1:, :] * f
+
+    # rows whose shift had to be clamped are entirely outside the source;
+    # in-range rows get exact zero borders from the padding itself
+    valid_row = (k_true >= k_min) & (k_true <= w)
+    return jnp.where(valid_row[..., None, None], out, 0.0)
 
 
 def _tent_matrix(slopes, n_in: int, n_out: int):

@@ -104,18 +104,29 @@ def evaluate(
     aug_params: Optional[AugmentationParams] = None,
     use_procrustes: bool = True,
     num_batches: Optional[int] = None,
+    predict_zroot: Optional[Callable] = None,
 ) -> Dict[str, float]:
-    """EPE/AUC evaluation dict (keys mirror evaluation_utils.evaluate)."""
+    """EPE/AUC evaluation dict (keys mirror evaluation_utils.evaluate).
+
+    `predict_zroot(pred_25d, K) -> (N,)` optionally supplies a denoised
+    z-root that overrides the closed-form lift (the reference's denoiser
+    path, evaluation_utils.py:133-140, 199-212)."""
     flags = flags or AugmentationFlags(resize=True, crop=True)
     aug_params = aug_params or AugmentationParams(resize_shape=(128, 128))
     pred = collect_predictions(
         predict_25d, pipeline, flags, aug_params, num_batches
     )
+    z_root = None
+    if predict_zroot is not None:
+        z_root = predict_zroot(
+            jnp.asarray(pred["predictions"]), jnp.asarray(pred["camera_param"])
+        )
     predictions_3d = np.asarray(
         convert_2_5d_to_3d(
             jnp.asarray(pred["predictions"]),
             jnp.asarray(pred["scale"]),
             jnp.asarray(pred["camera_param"]),
+            z_root=z_root,
         )
     )
     epe_2d = epe_statistics(pred["predictions"], pred["ground_truth"], dim=2)

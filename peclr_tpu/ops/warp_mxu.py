@@ -75,8 +75,9 @@ def _shift_rows(images, offsets, pad: int):
     """
     b, h, w, c = images.shape
     out_w = w + pad
+    dtype = images.dtype if images.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
     k_true = jnp.floor(offsets)
-    f = (offsets - k_true)[..., None, None]
+    f = (offsets - k_true)[..., None, None].astype(dtype)
     k_min = -(out_w + 2)
     k = jnp.clip(k_true, k_min, w).astype(jnp.int32)
     s = k - k_min  # >= 0, <= w - k_min
@@ -86,11 +87,20 @@ def _shift_rows(images, offsets, pad: int):
     # padded[u + s]; width covers u+s without wraparound
     total = _round_up(w - k_min + out_w + 2, 128)
     x = jnp.pad(
-        images.astype(jnp.float32), ((0, 0), (0, 0), (-k_min, total - w + k_min), (0, 0))
+        images.astype(dtype), ((0, 0), (0, 0), (-k_min, total - w + k_min), (0, 0))
     )
 
-    num_bits = max_s.bit_length()
-    for bit in range(num_bits):
+    # coarse stage: multiples of 128 (lane-block shifts), then slice down to
+    # the fine window before the cheap sub-128 stages — less traffic than
+    # running every bit over the full padded width
+    coarse_bits = range(7, max_s.bit_length())
+    for bit in coarse_bits:
+        amount = 1 << bit
+        take = ((s >> bit) & 1).astype(bool)[..., None, None]
+        x = jnp.where(take, jnp.roll(x, -amount, axis=2), x)
+    fine_total = _round_up(out_w + 1 + 127, 128)
+    x = x[:, :, :fine_total, :]
+    for bit in range(min(7, max_s.bit_length())):
         amount = 1 << bit
         take = ((s >> bit) & 1).astype(bool)[..., None, None]
         x = jnp.where(take, jnp.roll(x, -amount, axis=2), x)
@@ -101,7 +111,7 @@ def _shift_rows(images, offsets, pad: int):
     # rows whose shift had to be clamped are entirely outside the source;
     # in-range rows get exact zero borders from the padding itself
     valid_row = (k_true >= k_min) & (k_true <= w)
-    return jnp.where(valid_row[..., None, None], out, 0.0)
+    return jnp.where(valid_row[..., None, None], out, jnp.asarray(0.0, dtype))
 
 
 def _tent_matrix(slopes, n_in: int, n_out: int):
@@ -114,7 +124,8 @@ def _tent_matrix(slopes, n_in: int, n_out: int):
 
 
 def affine_warp_mxu(
-    images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 2.0
+    images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 2.0,
+    compute_dtype=jnp.bfloat16,
 ):
     """Drop-in replacement for ops.warp.affine_warp (same signature).
 
@@ -127,7 +138,9 @@ def affine_warp_mxu(
     """
     bsz, src_h, src_w, c = images.shape
     out_h, out_w = out_hw
-    x = images.astype(jnp.float32)
+    # bf16 pipeline: uint8-valued inputs are exactly representable; the two
+    # lerps lose < 1 intensity LSB — below JPEG noise
+    x = images.astype(compute_dtype)
     inv = _inv3_affine(matrices.astype(jnp.float32))
     A, B, TX = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
     C, D, TY = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
@@ -144,16 +157,16 @@ def affine_warp_mxu(
     # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
     shifted = _shift_rows(x, rows_off, pad=u_size - src_w)  # (B, H, U, C)
-    w1 = _tent_matrix(alpha, u_size, out_w)
+    w1 = _tent_matrix(alpha, u_size, out_w).astype(compute_dtype)
     tmp = jnp.einsum(
-        "bhuc,bui->bhic", shifted, w1, preferred_element_type=jnp.float32
+        "bhuc,bui->bhic", shifted, w1, preferred_element_type=compute_dtype
     )  # (B, H, out_w, C)
 
     # ---- pass 2: vertical ----------------------------------------------
     cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]
     tmp_t = jnp.swapaxes(tmp, 1, 2)  # (B, out_w, H, C)
     shifted_v = _shift_rows(tmp_t, cols_off, pad=v_size - src_h)  # (B, out_w, V, C)
-    w2 = _tent_matrix(D, v_size, out_h)
+    w2 = _tent_matrix(D, v_size, out_h).astype(compute_dtype)
     out = jnp.einsum(
         "bivc,bvj->bjic", shifted_v, w2, preferred_element_type=jnp.float32
     )  # (B, out_h, out_w, C)

@@ -36,16 +36,24 @@ class TestWarpMXU:
     def test_identity_and_translation_exact(self):
         imgs = jnp.asarray(smooth_images())
         eye = jnp.broadcast_to(jnp.eye(3), (4, 3, 3))
+        # f32 compute: exact; bf16 (default training path): ~1 intensity LSB
+        np.testing.assert_allclose(
+            np.asarray(affine_warp_mxu(imgs, eye, (64, 64),
+                                       compute_dtype=jnp.float32)),
+            np.asarray(affine_warp(imgs, eye, (64, 64))),
+            atol=1e-3,
+        )
         np.testing.assert_allclose(
             np.asarray(affine_warp_mxu(imgs, eye, (64, 64))),
             np.asarray(affine_warp(imgs, eye, (64, 64))),
-            atol=1e-3,
+            atol=1.5,
         )
         T = np.eye(3, dtype=np.float32)
         T[0, 2], T[1, 2] = 5.5, -3.25
         Tb = jnp.broadcast_to(jnp.asarray(T), (4, 3, 3))
         np.testing.assert_allclose(
-            np.asarray(affine_warp_mxu(imgs, Tb, (64, 64))),
+            np.asarray(affine_warp_mxu(imgs, Tb, (64, 64),
+                                       compute_dtype=jnp.float32)),
             np.asarray(affine_warp(imgs, Tb, (64, 64))),
             atol=1e-2,
         )

@@ -123,9 +123,17 @@ def _tent_matrix(slopes, n_in: int, n_out: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - u))
 
 
+def _default_compute_dtype():
+    """bf16 on TPU (MXU-native, uint8 inputs exact); f32 elsewhere (the CPU
+    backend cannot execute bf16 dots)."""
+    import jax
+
+    return jnp.bfloat16 if jax.default_backend() not in ("cpu",) else jnp.float32
+
+
 def affine_warp_mxu(
     images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 2.0,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=None,
 ):
     """Drop-in replacement for ops.warp.affine_warp (same signature).
 
@@ -136,6 +144,8 @@ def affine_warp_mxu(
         `max_scale` * out size (i.e. downscale factor ≤ max_scale beyond
         which contributions are silently zero).
     """
+    if compute_dtype is None:
+        compute_dtype = _default_compute_dtype()
     bsz, src_h, src_w, c = images.shape
     out_h, out_w = out_hw
     # bf16 pipeline: uint8-valued inputs are exactly representable; the two

@@ -43,7 +43,7 @@ class TestWarpMXU:
             np.asarray(affine_warp(imgs, eye, (64, 64))),
             atol=1e-3,
         )
-        np.testing.assert_allclose(
+        np.testing.assert_allclose(  # default dtype (f32 on CPU tests)
             np.asarray(affine_warp_mxu(imgs, eye, (64, 64))),
             np.asarray(affine_warp(imgs, eye, (64, 64))),
             atol=1.5,

@@ -104,7 +104,12 @@ def augment_batch(
     """
     b, src_h, src_w, _ = images_u8.shape
     out_w, out_h = params.resize_shape
-    x = images_u8.astype(jnp.float32)
+    # stay uint8 until a photometric op needs floats — the warp shifts
+    # uint8 sources at quarter traffic
+    if flags.sobel_filter or flags.cut_out or flags.gaussian_blur:
+        x = images_u8.astype(jnp.float32)
+    else:
+        x = images_u8
     joints = joints25d.astype(jnp.float32)
 
     keys = jax.random.split(key, 12)

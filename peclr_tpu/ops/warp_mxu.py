@@ -61,7 +61,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _shift_rows(images, offsets, pad: int):
+def _shift_rows(images, offsets, pad: int, lerp_dtype=None):
     """Shift every row y of every image by a real offset o[b, y]:
     out[b, y, u] = img(b, y, u + o), u in [0, W+pad), zero outside the
     source, fractional part via a 2-tap lerp.
@@ -72,23 +72,32 @@ def _shift_rows(images, offsets, pad: int):
     selects, so the whole thing is VPU/bandwidth work with no gathers or
     dynamic slices (both of which are slow or unsupported on the TPU
     toolchain).
+
+    The integer barrel stages run in the INPUT dtype — pass uint8 sources
+    through unconverted to quarter the shift traffic; only the final 2-tap
+    lerp promotes to `lerp_dtype`.
     """
     b, h, w, c = images.shape
     out_w = w + pad
-    dtype = images.dtype if images.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+    if lerp_dtype is None:
+        lerp_dtype = (
+            images.dtype
+            if images.dtype in (jnp.float32, jnp.bfloat16)
+            else jnp.float32
+        )
+    dtype = lerp_dtype
     k_true = jnp.floor(offsets)
-    f = (offsets - k_true)[..., None, None].astype(dtype)
+    f = (offsets - k_true)[..., None, None].astype(lerp_dtype)
     k_min = -(out_w + 2)
     k = jnp.clip(k_true, k_min, w).astype(jnp.int32)
     s = k - k_min  # >= 0, <= w - k_min
     max_s = w - k_min
 
     # content placed at column -k_min of the padded row; u-th output reads
-    # padded[u + s]; width covers u+s without wraparound
+    # padded[u + s]; width covers u+s without wraparound.  Barrel stages run
+    # in the source dtype (uint8 stays 1 byte/px).
     total = _round_up(w - k_min + out_w + 2, 128)
-    x = jnp.pad(
-        images.astype(dtype), ((0, 0), (0, 0), (-k_min, total - w + k_min), (0, 0))
-    )
+    x = jnp.pad(images, ((0, 0), (0, 0), (-k_min, total - w + k_min), (0, 0)))
 
     # coarse stage: multiples of 128 (lane-block shifts), then slice down to
     # the fine window before the cheap sub-128 stages — less traffic than
@@ -105,7 +114,7 @@ def _shift_rows(images, offsets, pad: int):
         take = ((s >> bit) & 1).astype(bool)[..., None, None]
         x = jnp.where(take, jnp.roll(x, -amount, axis=2), x)
 
-    window = x[:, :, : out_w + 1, :]
+    window = x[:, :, : out_w + 1, :].astype(lerp_dtype)
     out = window[:, :, :-1, :] * (1.0 - f) + window[:, :, 1:, :] * f
 
     # rows whose shift had to be clamped are entirely outside the source;
@@ -149,8 +158,9 @@ def affine_warp_mxu(
     bsz, src_h, src_w, c = images.shape
     out_h, out_w = out_hw
     # bf16 pipeline: uint8-valued inputs are exactly representable; the two
-    # lerps lose < 1 intensity LSB — below JPEG noise
-    x = images.astype(compute_dtype)
+    # lerps lose < 1 intensity LSB — below JPEG noise.  uint8 sources stay
+    # uint8 through the pass-1 barrel shifter (quarter traffic).
+    x = images if images.dtype == jnp.uint8 else images.astype(compute_dtype)
     inv = _inv3_affine(matrices.astype(jnp.float32))
     A, B, TX = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
     C, D, TY = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
@@ -166,7 +176,9 @@ def affine_warp_mxu(
 
     # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
-    shifted = _shift_rows(x, rows_off, pad=u_size - src_w)  # (B, H, U, C)
+    shifted = _shift_rows(
+        x, rows_off, pad=u_size - src_w, lerp_dtype=compute_dtype
+    )  # (B, H, U, C)
     w1 = _tent_matrix(alpha, u_size, out_w).astype(compute_dtype)
     tmp = jnp.einsum(
         "bhuc,bui->bhic", shifted, w1, preferred_element_type=compute_dtype
@@ -175,7 +187,9 @@ def affine_warp_mxu(
     # ---- pass 2: vertical ----------------------------------------------
     cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]
     tmp_t = jnp.swapaxes(tmp, 1, 2)  # (B, out_w, H, C)
-    shifted_v = _shift_rows(tmp_t, cols_off, pad=v_size - src_h)  # (B, out_w, V, C)
+    shifted_v = _shift_rows(
+        tmp_t, cols_off, pad=v_size - src_h, lerp_dtype=compute_dtype
+    )  # (B, out_w, V, C)
     w2 = _tent_matrix(D, v_size, out_h).astype(compute_dtype)
     out = jnp.einsum(
         "bivc,bvj->bjic", shifted_v, w2, preferred_element_type=jnp.float32

@@ -22,6 +22,11 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/peclr_jax_cache"),
+    )
     import jax.numpy as jnp
     import numpy as np
 

@@ -152,11 +152,19 @@ def main(argv=None):
         num_threads=train_cfg.num_workers,
         shuffle=False,
     )
+    workdir = None
+    if args.experiment_key:
+        # resume a previous run's checkpoints by experiment key
+        from peclr_tpu.constants import SAVED_MODELS_BASE_PATH
+        import os
+
+        workdir = os.path.join(SAVED_MODELS_BASE_PATH, args.experiment_key)
     trainer = PeCLRTrainer(
         train_cfg,
         model_cfg,
         train_pipe,
         val_pipe,
+        workdir=workdir,
         experiment_name=args.experiment_name or None,
         save_top_k=args.save_top_k,
         save_period=args.save_period,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -63,6 +64,46 @@ def _bn(train, name, dtype):
         param_dtype=jnp.float32,
         name=name,
     )
+
+
+class StemConv(nn.Module):
+    """The 7x7/2 stem conv computed via 2x2 space-to-depth.
+
+    A direct 7x7 conv on 3 channels wastes the MXU (3 of 128 contraction
+    lanes).  Reshaping the input to (H/2, W/2, 12) and the kernel to
+    (4, 4, 12, 64) is EXACTLY the same linear map (the kernel is zero-padded
+    7->8 taps and regrouped), but contracts over 4*4*12=192 elements — the
+    classic TPU ResNet stem optimization.  The stored parameter keeps the
+    canonical torchvision shape (7, 7, 3, 64) so checkpoint ports are
+    unaffected; the repack happens in-graph (tiny, fused away).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            (7, 7, 3, 64),
+            jnp.float32,
+        ).astype(self.dtype)
+        b, h, w, c = x.shape
+        # input space-to-depth: (B, H/2, W/2, (py, px, ch))
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # kernel: pad taps 7->8 so tap index t = dy+4 = 2r+py, then regroup
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k2 = k8.reshape(4, 2, 4, 2, 3, 64)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, 64)
+        return jax.lax.conv_general_dilated(
+            x2,
+            k2,
+            window_strides=(1, 1),
+            padding=[(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
 
 
 class BasicBlock(nn.Module):
@@ -130,10 +171,7 @@ class ResNetEncoder(nn.Module):
         expansion = 1 if block_kind == "basic" else 4
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
+        x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = _bn(train, "bn1", self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

@@ -83,6 +83,9 @@ def make_two_pass_predictor(model, variables) -> Callable:
 
         # box in crop coords -> original frame via inverse affine
         box = bbox_from_kp2d(kp2d)
+        # degenerate-pose guard: a zero-size box (all keypoints in one pixel
+        # cell) would blow up the affine scale
+        box = box.at[:, 2:].set(jnp.maximum(box[:, 2:], box[:, :2] + 1.0))
         corners = jnp.stack(
             [box[:, :2], box[:, 2:]], axis=1
         )  # (B, 2, 2): (x1,y1), (x2,y2)

@@ -308,17 +308,32 @@ def augment_pair(
     (data_set.py:357-384).  Cropping always runs (with zero jitter when the
     crop flag is off); ImageNet normalization is applied when `normalize`.
     """
-    k1, k2 = jax.random.split(key)
     zero_jitter = not flags.crop
-    views = []
-    for k in (k1, k2):
-        out = augment_batch(
-            k, images_u8, joints25d, flags, params,
-            force_crop=True, zero_jitter=zero_jitter,
+    # one fused call over the doubled batch: per-sample randomness makes the
+    # two halves independent views, and the whole geometric/photometric
+    # pipeline runs once at 2B (same math, better utilization)
+    both = augment_batch(
+        key,
+        jnp.concatenate([images_u8, images_u8], axis=0),
+        jnp.concatenate([joints25d, joints25d], axis=0),
+        flags,
+        params,
+        force_crop=True,
+        zero_jitter=zero_jitter,
+    )
+    if normalize:
+        both = dataclasses.replace(
+            both, images=im.normalize_imagenet(both.images)
         )
-        if normalize:
-            out = dataclasses.replace(
-                out, images=im.normalize_imagenet(out.images)
-            )
-        views.append(out)
-    return views[0], views[1]
+    b = images_u8.shape[0]
+
+    def half(i):
+        sl = slice(i * b, (i + 1) * b)
+        return AugmentOutput(
+            images=both.images[sl],
+            joints=both.joints[sl],
+            matrix=both.matrix[sl],
+            params={k: v[sl] for k, v in both.params.items()},
+        )
+
+    return half(0), half(1)

@@ -141,7 +141,7 @@ def _default_compute_dtype():
 
 
 def affine_warp_mxu(
-    images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 2.0,
+    images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 1.96,
     compute_dtype=None,
 ):
     """Drop-in replacement for ops.warp.affine_warp (same signature).
@@ -170,9 +170,12 @@ def affine_warp_mxu(
     beta = B / D_safe
     gamma = TX - B * TY / D_safe
 
-    # static widths covering sampling positions alpha*i / D*j
-    u_size = int(max(src_w, max_scale * out_w)) + 2
-    v_size = int(max(src_h, max_scale * out_h)) + 2
+    # static widths covering the sampling positions alpha*i / D*j (the
+    # shifts bring the needed window to the origin, so the source extent is
+    # irrelevant — only the position range matters; keeping this under 254
+    # also keeps the fine barrel window at 384 lanes)
+    u_size = int(max_scale * out_w) + 2
+    v_size = int(max_scale * out_h) + 2
 
     # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]

@@ -62,6 +62,9 @@ def build_parser(description: str = "PeCLR pretraining (TPU)"):
                    help="jax.profiler trace output dir (first epoch)")
     p.add_argument("-canvas", type=int, default=224,
                    help="host canvas size fed to the device augmenter")
+    p.add_argument("-view_size", type=int, default=None,
+                   help="augmented view size (overrides resize_shape, "
+                        "default 128)")
     p.add_argument("-experiment_type", type=str, default="hybrid2",
                    choices=["hybrid2", "simclr"],
                    help="hybrid2 = PeCLR (equivariant); simclr = invariant "
@@ -85,6 +88,10 @@ def configs_from_args(args) -> tuple[TrainConfig, ModelConfig]:
             setattr(train_cfg.augmentation_flags, flag, True)
     if args.sources:
         train_cfg.sources = tuple(args.sources)
+    if getattr(args, "view_size", None):
+        train_cfg.augmentation_params.resize_shape = (
+            args.view_size, args.view_size,
+        )
 
     model_cfg = ModelConfig()
     model_cfg.resnet_size = args.resnet_size

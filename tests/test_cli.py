@@ -144,7 +144,8 @@ def test_train_cli_one_epoch(env, monkeypatch):
             "--rotate", "--crop", "--color_jitter", "--resize",
             "-batch_size", "8", "-epochs", "1", "-resnet_size", "18",
             "-train_ratio", "0.75", "-num_workers", "2", "-optimizer", "adam",
-            "-canvas", "64", "-sources", "freihand", "-save_top_k", "1",
+            "-canvas", "64", "-view_size", "48", "-sources", "freihand",
+            "-save_top_k", "1",
         ]
     )
     # experiment tracked + checkpoint written

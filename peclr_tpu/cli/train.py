@@ -107,6 +107,7 @@ def configs_from_args(args) -> tuple[TrainConfig, ModelConfig]:
         "18": 512, "34": 512, "50": 2048, "101": 2048, "152": 2048
     }[args.resnet_size]
     model_cfg.augmentation = tuple(train_cfg.augmentation_flags.active())
+    model_cfg.experiment_type = getattr(args, "experiment_type", "hybrid2")
     return train_cfg, model_cfg
 
 

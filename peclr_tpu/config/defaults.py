@@ -83,6 +83,9 @@ class ModelConfig:
     optimizer: str = "LARS"
     resnet_size: str = "50"
     lr_max_epochs: Optional[int] = None
+    #: "hybrid2" = PeCLR (equivariant inverse transforms); "simclr" =
+    #: invariant baseline (no transforms in projection space)
+    experiment_type: str = "hybrid2"
     # derived at runtime:
     num_samples: int = 0
     epochs: int = 50

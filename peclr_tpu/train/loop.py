@@ -121,7 +121,11 @@ class PeCLRTrainer:
         self.state = jax.device_put(
             TrainState.create(variables, tx), replicated(self.mesh)
         )
-        augmentations = model_cfg.augmentation or flags.active()
+        if getattr(model_cfg, "experiment_type", "hybrid2") == "simclr":
+            # invariant baseline: no inverse transforms in projection space
+            augmentations = ()
+        else:
+            augmentations = model_cfg.augmentation or flags.active()
         self.train_step = make_peclr_train_step(
             self.model, tx, flags, train_cfg.augmentation_params,
             accum=accum, augmentations=augmentations,

@@ -46,6 +46,9 @@ class AugmentationParams:
     crop_box_jitter: Tuple[float, float] = (0.0, 15.0)
     sobel_kernel: int = 3
     noise_std: float = 25.0
+    #: resample taps for the fused warp: "area" matches the reference's
+    #: cv2.INTER_AREA resize on downscale; "linear" is plain bilinear
+    interpolation: str = "area"
 
 
 @dataclasses.dataclass

@@ -51,9 +51,12 @@ from peclr_tpu.ops.warp_mxu import affine_warp_mxu
 WARP_BACKEND = "mxu"
 
 
-def affine_warp(images, matrices, out_hw, fill_value: float = 0.0):
+def affine_warp(images, matrices, out_hw, fill_value: float = 0.0,
+                interp: str = "linear"):
     if WARP_BACKEND == "mxu":
-        return affine_warp_mxu(images, matrices, out_hw, fill_value)
+        return affine_warp_mxu(
+            images, matrices, out_hw, fill_value, interp=interp
+        )
     return affine_warp_gather(images, matrices, out_hw, fill_value)
 
 
@@ -211,7 +214,10 @@ def augment_batch(
     matrix = matrix.at[:, 0, :].multiply(fw[:, None])
     matrix = matrix.at[:, 1, :].multiply(fh[:, None])
 
-    x = affine_warp(x, matrix, (out_h, out_w))
+    x = affine_warp(
+        x, matrix, (out_h, out_w),
+        interp=getattr(params, "interpolation", "linear"),
+    )
     joints_xy = jnp.stack(
         [
             (joints_rot_xy[..., 0] - origin[:, None, 0]) * fw[:, None],

@@ -132,6 +132,21 @@ def _tent_matrix(slopes, n_in: int, n_out: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - u))
 
 
+def _area_matrix(slopes, n_in: int, n_out: int):
+    """(B, n_in, n_out) box-filter (cv2 INTER_AREA) matrix for downscaling:
+    output pixel i averages source [s·i, s·(i+1)); falls back to the tent
+    taps per image when s <= 1 (cv2's INTER_AREA == bilinear on upscale)."""
+    i = jnp.arange(n_out, dtype=jnp.float32)[None, None, :]
+    u = jnp.arange(n_in, dtype=jnp.float32)[None, :, None]
+    s = slopes[:, None, None]
+    overlap = jnp.clip(
+        jnp.minimum(s * (i + 1.0), u + 1.0) - jnp.maximum(s * i, u), 0.0, 1.0
+    )
+    area = overlap / jnp.maximum(s, 1e-6)
+    tent = jnp.maximum(0.0, 1.0 - jnp.abs(s * i - u))
+    return jnp.where(s > 1.0, area, tent)
+
+
 def _default_compute_dtype():
     """bf16 on TPU (MXU-native, uint8 inputs exact); f32 elsewhere (the CPU
     backend cannot execute bf16 dots)."""
@@ -142,7 +157,7 @@ def _default_compute_dtype():
 
 def affine_warp_mxu(
     images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 1.96,
-    compute_dtype=None,
+    compute_dtype=None, interp: str = "linear",
 ):
     """Drop-in replacement for ops.warp.affine_warp (same signature).
 
@@ -179,10 +194,11 @@ def affine_warp_mxu(
 
     # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
+    tap_matrix = _area_matrix if interp == "area" else _tent_matrix
     shifted = _shift_rows(
         x, rows_off, pad=u_size - src_w, lerp_dtype=compute_dtype
     )  # (B, H, U, C)
-    w1 = _tent_matrix(alpha, u_size, out_w).astype(compute_dtype)
+    w1 = tap_matrix(alpha, u_size, out_w).astype(compute_dtype)
     tmp = jnp.einsum(
         "bhuc,bui->bhic", shifted, w1, preferred_element_type=compute_dtype
     )  # (B, H, out_w, C)
@@ -193,7 +209,7 @@ def affine_warp_mxu(
     shifted_v = _shift_rows(
         tmp_t, cols_off, pad=v_size - src_h, lerp_dtype=compute_dtype
     )  # (B, out_w, V, C)
-    w2 = _tent_matrix(D, v_size, out_h).astype(compute_dtype)
+    w2 = tap_matrix(D, v_size, out_h).astype(compute_dtype)
     out = jnp.einsum(
         "bivc,bvj->bjic", shifted_v, w2, preferred_element_type=jnp.float32
     )  # (B, out_h, out_w, C)

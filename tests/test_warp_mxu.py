@@ -77,3 +77,29 @@ class TestWarpMXU:
         Tb = jnp.broadcast_to(jnp.asarray(T), (4, 3, 3))
         out = np.asarray(affine_warp_mxu(imgs, Tb, (64, 64)))
         assert np.abs(out).max() == 0.0
+
+
+class TestAreaInterp:
+    def test_area_matches_cv2_inter_area_pure_downscale(self, rng):
+        cv2 = pytest.importorskip("cv2")
+        img = rng.uniform(0, 255, (96, 96, 3)).astype(np.float32)
+        ref = cv2.resize(img, (48, 48), interpolation=cv2.INTER_AREA)
+        M = jnp.broadcast_to(
+            jnp.asarray(np.diag([0.5, 0.5, 1.0]).astype(np.float32)), (1, 3, 3)
+        )
+        got = np.asarray(
+            affine_warp_mxu(jnp.asarray(img[None]), M, (48, 48), interp="area",
+                            compute_dtype=jnp.float32)
+        )[0]
+        assert np.abs(got - ref).max() < 1.0
+
+    def test_area_preserves_constant(self):
+        img = jnp.full((1, 96, 96, 3), 100.0)
+        M = jnp.broadcast_to(
+            jnp.asarray(np.diag([0.6, 0.6, 1.0]).astype(np.float32)), (1, 3, 3)
+        )
+        out = np.asarray(
+            affine_warp_mxu(img, M, (48, 48), interp="area",
+                            compute_dtype=jnp.float32)
+        )
+        np.testing.assert_allclose(out[0, 10:38, 10:38], 100.0, atol=0.1)

@@ -138,3 +138,35 @@ def test_experiment_naming():
         "hybrid2_", 128, ["crop", "rotate", "color_jitter", "resize"]
     )
     assert name == "hybrid2_128C_CJ_Re_Ro"
+
+
+def test_auto_resume(fh_root, small_cfgs, tmp_path, monkeypatch):
+    """Interrupted training resumes from the newest checkpoint."""
+    import peclr_tpu.train.loop as loop_mod
+
+    monkeypatch.setattr(loop_mod, "SAVED_META_INFO_PATH", str(tmp_path / "meta"))
+    monkeypatch.setattr(loop_mod, "SAVED_MODELS_BASE_PATH", str(tmp_path / "m"))
+    train_cfg, model_cfg = small_cfgs
+    src = FreihandSource(fh_root, "train", seed=5, train_ratio=0.75)
+    pipe = HostPipeline([src], batch_size=16, canvas=64, seed=5, num_threads=2)
+    work = str(tmp_path / "work")
+
+    t1 = loop_mod.PeCLRTrainer(
+        train_cfg, model_cfg, pipe, workdir=work,
+        experiment_name="resume_test", save_top_k=2, auto_resume=True,
+    )
+    assert t1.start_epoch == 0
+    t1.fit(epochs=2)
+
+    t2 = loop_mod.PeCLRTrainer(
+        train_cfg, model_cfg, pipe, workdir=work,
+        experiment_name="resume_test", save_top_k=2, auto_resume=True,
+    )
+    assert t2.start_epoch == 2
+    import numpy as np
+    import jax
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(t2.state.params["encoder"]["conv1"]["kernel"])),
+        np.asarray(jax.device_get(t1.state.params["encoder"]["conv1"]["kernel"])),
+    )

@@ -107,6 +107,12 @@ def convert_2_5d_to_3d(joints25d, scale, K, z_root=None):
     return rays * z[..., None]
 
 
+def error_in_conversion(true_joints3d, calc_joints3d):
+    """Max abs error of a 3D -> 2.5D -> 3D round trip (the reference's
+    notebook-grade sanity util, data_loader/utils.py:113-126)."""
+    return jnp.max(jnp.abs(jnp.asarray(calc_joints3d) - jnp.asarray(true_joints3d)))
+
+
 def move_wrist_to_palm(joints3d):
     """Replace the wrist joint with the palm midpoint (wrist+index_mcp)/2.
 

@@ -162,3 +162,22 @@ class TestRN25D:
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestLargeResNets:
+    """Flagship-size encoders compile and produce the right embedding."""
+
+    @pytest.mark.parametrize("size", ["101", "152"])
+    def test_forward_shapes(self, size):
+        model, variables = init_encoder(size, image=32)
+        out = ResNetEncoder(size=size).apply(
+            variables, jnp.ones((1, 32, 32, 3)), train=False
+        )
+        assert out.shape == (1, EMBED_DIM[size])
+
+    def test_rn152_port_keys(self):
+        _, variables = init_encoder("152", image=32)
+        sd = port.encoder_to_torchvision(variables, "152")
+        # 152 = 3+8+36+3 bottlenecks
+        assert "layer3.35.conv3.weight" in sd
+        assert "layer2.7.bn2.running_mean" in sd

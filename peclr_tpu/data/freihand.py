@@ -118,6 +118,17 @@ class FreihandSource:
     def n_unique(self) -> int:
         return len(self.K)
 
+    @property
+    def image_size(self):
+        """(H, W) of the frames (FreiHAND is uniformly sized; probed once).
+        Enables the pipeline's whole-batch native-decode fast path."""
+        if not hasattr(self, "_image_size"):
+            from peclr_tpu.data.pipeline import decode_image
+
+            img = decode_image(self.image_path(0))
+            self._image_size = (img.shape[0], img.shape[1])
+        return self._image_size
+
     def image_path(self, i: int) -> str:
         return os.path.join(self.img_dir, self.img_names[self.indices[i]])
 

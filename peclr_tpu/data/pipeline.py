@@ -139,8 +139,54 @@ class HostPipeline:
             k: np.stack([s[k] for s in samples]) for k in samples[0].keys()
         }
 
+    def _native_batch(self, chunk) -> Optional[dict]:
+        """Fast path: decode the whole batch straight into the canvas buffer
+        with the C++ pool (canvas-native sources only, e.g. FreiHAND 224)."""
+        from peclr_tpu.data import native_loader
+
+        if not native_loader.available():
+            return None
+        paths = [self.sources[s].image_path(i) for s, i in chunk]
+        images = native_loader.decode_batch_to_canvas(
+            paths, self.canvas, threads=self.num_threads
+        )
+        if images is None:
+            return None
+        out = {"image": images}
+        labels = []
+        for s, i in chunk:
+            rec = self.sources[s].record(i)
+            j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
+            labels.append(
+                {
+                    "joints25d": j25d,
+                    "K": rec["K"],
+                    "scale": scale,
+                    "joints_valid": rec["joints_valid"],
+                    "joints3d": rec["joints3d"],
+                    "metric_scale": rec.get("metric_scale", np.float32(1.0)),
+                }
+            )
+        out.update({k: np.stack([l[k] for l in labels]) for k in labels[0]})
+        return out
+
+    def _canvas_native(self) -> bool:
+        """True when every source serves canvas-sized frames (no per-frame
+        standardization needed) — FreiHAND's 224x224 layout."""
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            pass
+        for src in self.sources:
+            probe = getattr(src, "image_size", None)
+            if probe != (self.canvas, self.canvas):
+                return False
+        return True
+
     def batches(self, num_batches: int, epoch: int = 0) -> Iterator[dict]:
-        """Yield `num_batches` batches (threaded decode)."""
+        """Yield `num_batches` batches (threaded decode; the C++ pool decodes
+        whole batches directly into the canvas when sources are
+        canvas-native)."""
         from concurrent.futures import ThreadPoolExecutor
 
         if self.balanced:
@@ -151,9 +197,15 @@ class HostPipeline:
             order = np.tile(order, max(reps, 1))[: num_batches * self.batch_size]
             draws = [(0, int(i)) for i in order]
 
+        use_native = self._canvas_native()
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             for b in range(num_batches):
                 chunk = draws[b * self.batch_size: (b + 1) * self.batch_size]
+                if use_native:
+                    batch = self._native_batch(chunk)
+                    if batch is not None:
+                        yield batch
+                        continue
                 samples = list(pool.map(lambda d: self._load_one(*d), chunk))
                 yield self._collate(samples)
 

@@ -120,3 +120,22 @@ class TestNativeLoader:
         assert out is not None and out.shape == (4, 224, 224, 3)
         single = native_loader.decode(paths[0])
         np.testing.assert_array_equal(out[0], single)
+
+
+class TestNativeBatchFastPath:
+    def test_fast_path_used_when_canvas_native(self, fh_root):
+        from peclr_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        assert src.image_size == (224, 224)
+        pipe = HostPipeline([src], batch_size=4, canvas=224, num_threads=2)
+        assert pipe._canvas_native()
+        fast = next(pipe.batches(1, epoch=0))
+        # same content as the generic path
+        pipe2 = HostPipeline([src], batch_size=4, canvas=224, num_threads=2)
+        pipe2._canvas_native = lambda: False
+        slow = next(pipe2.batches(1, epoch=0))
+        np.testing.assert_array_equal(fast["image"], slow["image"])
+        np.testing.assert_allclose(fast["joints25d"], slow["joints25d"], atol=1e-5)

@@ -75,7 +75,23 @@ def main(argv=None):
         train=False,
     )
     if args.pretrained:
-        sd = load_torch_checkpoint(args.pretrained)
+        if os.path.isdir(args.pretrained):
+            # orbax PeCLR training checkpoint -> reference-layout dict
+            import orbax.checkpoint as ocp
+
+            from peclr_tpu.models import port
+
+            with ocp.StandardCheckpointer() as ckptr:
+                peclr_state = ckptr.restore(os.path.abspath(args.pretrained), None)
+            sd = port.variables_to_peclr_checkpoint(
+                {
+                    "params": peclr_state["params"],
+                    "batch_stats": peclr_state["batch_stats"],
+                },
+                args.resnet_size,
+            )
+        else:
+            sd = load_torch_checkpoint(args.pretrained)
         variables = load_pretrained_encoder(variables, sd, args.resnet_size)
         log.info(f"initialized backbone from {args.pretrained}")
 

@@ -153,3 +153,29 @@ def test_train_cli_one_epoch(env, monkeypatch):
     assert meta_dirs
     exp_dir = os.path.join(env["meta"], meta_dirs[0])
     assert os.path.exists(os.path.join(exp_dir, "metrics.jsonl"))
+
+
+def test_finetune_from_pretrained_orbax(env, tmp_path):
+    """Pretrain 1 epoch -> fine-tune initialized from the orbax checkpoint."""
+    import glob
+
+    from peclr_tpu.cli import finetune, train as train_cli
+
+    train_cli.main(
+        [
+            "--rotate", "--crop", "--resize", "-batch_size", "8",
+            "-epochs", "1", "-resnet_size", "50", "-train_ratio", "0.75",
+            "-num_workers", "2", "-optimizer", "adam", "-canvas", "64",
+            "-view_size", "48", "-save_top_k", "1",
+        ]
+    )
+    ckpts = glob.glob(os.path.join(env["saved"], "*", "checkpoints", "epoch_0"))
+    assert ckpts
+    finetune.main(
+        [
+            "-batch_size", "8", "-epochs", "1", "-steps_per_epoch", "1",
+            "-resnet_size", "50", "-crop_size", "48", "-train_ratio", "0.75",
+            "-num_workers", "2", "-workdir", str(tmp_path / "ft2"),
+            "-optimizer", "adam", "-pretrained", ckpts[0],
+        ]
+    )

@@ -29,7 +29,7 @@ def main():
 
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/peclr_jax_cache"),
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
     )
     import jax.numpy as jnp
     import numpy as np

@@ -115,6 +115,23 @@ def plot_simclr_pair(
     return _savefig(fig, out_dir, name)
 
 
+def plot_pairwise_pair(
+    img1: np.ndarray, img2: np.ndarray,
+    joints1: np.ndarray, joints2: np.ndarray,
+    out_dir: Optional[str] = None, name: str = "pairwise_pair.png",
+):
+    """Augmented pair with each view's transformed keypoints overlaid — the
+    pairwise-experiment logging panel."""
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+    for ax, img, joints in ((axes[0], img1, joints1), (axes[1], img2, joints2)):
+        ax.imshow(unnormalize_images(img[None])[0] if img.max() <= 8.0 else img)
+        plot_hand(ax, joints)
+        ax.axis("off")
+    return _savefig(fig, out_dir, name)
+
+
 def plot_peclr_pair(
     img1: np.ndarray, img2: np.ndarray, params: Dict[str, np.ndarray],
     sample_idx: int = 0, out_dir: Optional[str] = None,

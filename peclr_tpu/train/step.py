@@ -53,6 +53,7 @@ def make_peclr_train_step(
     flags: AugmentationFlags,
     aug_params: AugmentationParams,
     accum: int = 1,
+    unroll: int = 1,
     temperature: float = 0.5,
     augmentations: Optional[Sequence[str]] = None,
     with_stats: bool = True,
@@ -119,6 +120,7 @@ def make_peclr_train_step(
             body,
             (zero_grads, jnp.zeros(()), state.batch_stats),
             (images, joints, keys),
+            unroll=unroll,
         )
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -104,6 +104,11 @@ def augment_batch(
     force_crop / zero_jitter: the hybrid2 override semantics — crop always
     runs for contrastive samples; when the crop *flag* is off its jitter is
     pinned to 0 (data_set.py:357-367).
+
+    Static-shape note: outputs are always `params.resize_shape` (TPU
+    programs need fixed shapes).  The reference's resize flag controls
+    whether a resize *happens*; here it is implicit — to reproduce
+    "no resize", set resize_shape to the source size.
     """
     b, src_h, src_w, _ = images_u8.shape
     out_w, out_h = params.resize_shape

@@ -30,7 +30,7 @@ from peclr_tpu.geometry import affine
 from peclr_tpu.geometry.camera import move_palm_to_wrist
 from peclr_tpu.geometry.joints import permutation
 from peclr_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
-from peclr_tpu.ops.warp import affine_warp
+from peclr_tpu.ops.warp_mxu import affine_warp_mxu
 
 BBOX_SCALE = 0.33
 CROP_SIZE = 224
@@ -48,10 +48,13 @@ def initial_affine(crop_size: int = CROP_SIZE) -> np.ndarray:
 
 
 def _preprocess(images_u8, T):
-    """warp + ImageNet-normalize; T: (B, 3, 3) source->crop."""
-    crop = affine_warp(
-        images_u8.astype(jnp.float32), T, (CROP_SIZE, CROP_SIZE),
-        fill_value=BORDER_FILL,
+    """warp + ImageNet-normalize; T: (B, 3, 3) source->crop.
+
+    MXU warp (gather-free); max_scale 3 covers refined boxes that span more
+    than the original frame (the pass-2 affine can zoom out)."""
+    crop = affine_warp_mxu(
+        images_u8, T, (CROP_SIZE, CROP_SIZE),
+        fill_value=BORDER_FILL, max_scale=3.0,
     )
     return (crop / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 

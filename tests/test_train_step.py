@@ -135,3 +135,78 @@ class TestOptimizer:
         assert float(sched(0)) < 1e-6
         np.testing.assert_allclose(float(sched(200)), peak, rtol=1e-3)
         assert float(sched(999)) < peak * 0.01
+
+
+class TestGradAccumSemantics:
+    def test_accum_equals_mean_of_microbatch_grads(self):
+        """One accum=2 step must apply the MEAN of the two microbatch
+        gradients (reference accumulate_grad_batches semantics: NT-Xent
+        negatives stay within each microbatch)."""
+        import optax
+
+        from peclr_tpu.config.defaults import AugmentationParams
+        from peclr_tpu.models import PeCLRModel
+
+        model = PeCLRModel(resnet_size="18", dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        tx = optax.sgd(1.0)  # update == -grad, so params expose the gradient
+        state = TrainState.create(variables, tx)
+        flags = peclr_pretrain_flags()
+        aug = AugmentationParams(resize_shape=(32, 32))
+
+        rng = np.random.default_rng(3)
+        images = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+        joints = np.concatenate(
+            [rng.uniform(16, 48, (4, 21, 2)), rng.normal(size=(4, 21, 1))],
+            axis=-1,
+        ).astype(np.float32)
+        batch = {"image": jnp.asarray(images), "joints25d": jnp.asarray(joints)}
+        key = jax.random.PRNGKey(9)
+
+        step2 = make_peclr_train_step(
+            model, tx, flags, aug, accum=2, donate=False
+        )
+        new_state, _ = step2(state, batch, key)
+        applied = jax.tree_util.tree_map(
+            lambda a, b: np.asarray(a - b), state.params, new_state.params
+        )  # == lr * mean grad == mean grad
+
+        # manual: grads of the same micro-loss on each microbatch with the
+        # keys the scan hands out (split(key, accum))
+        from peclr_tpu.losses.equivariance import peclr_projections
+        from peclr_tpu.losses.ntxent import ntxent_loss
+        from peclr_tpu.ops.augment import augment_pair
+
+        def micro_loss(params, images, joints, k):
+            v1, v2 = augment_pair(k, images, joints, flags, aug)
+            both = jnp.concatenate([v1.images, v2.images], axis=0)
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                both, train=True, mutable=["batch_stats"],
+            )
+            proj = out["projection"]
+            b = proj.shape[0] // 2
+            z1, z2 = peclr_projections(
+                proj[:b], proj[b:], v1.params, v2.params,
+                image_size=tuple(aug.resize_shape),
+                augmentations=flags.active(),
+            )
+            return ntxent_loss(z1, z2)
+
+        keys = jax.random.split(key, 2)
+        grads = []
+        for half, k in ((slice(0, 2), keys[0]), (slice(2, 4), keys[1])):
+            g = jax.grad(micro_loss)(
+                state.params, batch["image"][half],
+                batch["joints25d"][half], k,
+            )
+            grads.append(jax.tree_util.tree_map(np.asarray, g))
+        mean_grad = jax.tree_util.tree_map(
+            lambda a, b: (a + b) / 2.0, grads[0], grads[1]
+        )
+        flat_a = jax.tree_util.tree_leaves(applied)
+        flat_m = jax.tree_util.tree_leaves(mean_grad)
+        for a, m in zip(flat_a, flat_m):
+            np.testing.assert_allclose(a, m, atol=5e-4)

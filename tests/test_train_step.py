@@ -233,4 +233,8 @@ class TestGradAccumSemantics:
         flat_a = jax.tree_util.tree_leaves(applied)
         flat_m = jax.tree_util.tree_leaves(mean_grad)
         for a, m in zip(flat_a, flat_m):
-            np.testing.assert_allclose(a, m, atol=1e-3)  # f32 compilation noise
+            # two separate f32 compilations of a deep net reassociate
+            # reductions; assert agreement in norm, not bitwise
+            denom = np.linalg.norm(m) + 1e-8
+            rel = np.linalg.norm(a - m) / denom
+            assert rel < 0.01, (a.shape, rel)

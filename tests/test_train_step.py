@@ -142,16 +142,24 @@ class TestGradAccumSemantics:
         """One accum=2 step must apply the MEAN of the two microbatch
         gradients (reference accumulate_grad_batches semantics).
 
-        The real augmentation is swapped for a smooth deterministic stub:
-        the full warp's float trunc/floor boundaries are not bitwise-stable
-        across compilation contexts (scan-compiled vs standalone), which
-        would turn this exact comparison into noise-chasing."""
+        Isolation choices: the augmentation is a smooth deterministic stub
+        (the real warp's trunc/floor boundaries are not bitwise-stable
+        across compilation contexts) and the encoder is a tiny linear model
+        (a random-init deep net's NT-Xent gradients are ill-conditioned —
+        projections nearly collapse, so f32 noise dominates direction)."""
+        import flax.linen as nn
         import optax
 
         import peclr_tpu.train.step as step_mod
         from peclr_tpu.config.defaults import AugmentationParams
-        from peclr_tpu.models import PeCLRModel
         from peclr_tpu.ops.augment import AugmentOutput
+
+        class TinyModel(nn.Module):
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                h = x.reshape(x.shape[0], -1)
+                proj = nn.Dense(16, name="proj")(jnp.tanh(h / 100.0))
+                return {"embedding": h, "projection": proj}
 
         def stub_augment_pair(key, images, joints, flags_, params_,
                               normalize=True):
@@ -159,7 +167,7 @@ class TestGradAccumSemantics:
             shift = jax.random.uniform(key, (2,))
 
             def view(i):
-                img = images[:, :32, :32, :].astype(jnp.float32) / 255.0
+                img = images[:, :8, :8, :].astype(jnp.float32) / 255.0
                 img = img + shift[i]
                 p = {
                     "angle": jnp.full((b,), 10.0 * (i + 1)),
@@ -175,18 +183,18 @@ class TestGradAccumSemantics:
 
         monkeypatch.setattr(step_mod, "augment_pair", stub_augment_pair)
 
-        model = PeCLRModel(resnet_size="18", dtype=jnp.float32)
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
-        )
+        model = TinyModel()
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        if "batch_stats" not in variables:
+            variables = {"params": variables["params"], "batch_stats": {}}
         tx = optax.sgd(1.0)  # update == -grad: params expose the gradient
         state = TrainState.create(variables, tx)
         flags = peclr_pretrain_flags()
-        aug = AugmentationParams(resize_shape=(32, 32))
+        aug = AugmentationParams(resize_shape=(8, 8))
 
         rng = np.random.default_rng(3)
-        images = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
-        joints = rng.uniform(8, 24, (4, 21, 3)).astype(np.float32)
+        images = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        joints = rng.uniform(2, 6, (4, 21, 3)).astype(np.float32)
         batch = {"image": jnp.asarray(images), "joints25d": jnp.asarray(joints)}
         key = jax.random.PRNGKey(9)
 
@@ -204,16 +212,12 @@ class TestGradAccumSemantics:
         def micro_loss(params, im, j, k):
             v1, v2 = stub_augment_pair(k, im, j, flags, aug)
             both = jnp.concatenate([v1.images, v2.images], axis=0)
-            out, _ = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                both, train=True, mutable=["batch_stats"],
-            )
+            out = model.apply({"params": params}, both)
             proj = out["projection"]
             b = proj.shape[0] // 2
             z1, z2 = peclr_projections(
                 proj[:b], proj[b:], v1.params, v2.params,
-                image_size=tuple(aug.resize_shape),
-                augmentations=flags.active(),
+                image_size=(8, 8), augmentations=flags.active(),
             )
             return ntxent_loss(z1, z2)
 
@@ -230,11 +234,9 @@ class TestGradAccumSemantics:
         mean_grad = jax.tree_util.tree_map(
             lambda a, b: (a + b) / 2.0, grads[0], grads[1]
         )
-        flat_a = jax.tree_util.tree_leaves(applied)
-        flat_m = jax.tree_util.tree_leaves(mean_grad)
-        for a, m in zip(flat_a, flat_m):
-            # two separate f32 compilations of a deep net reassociate
-            # reductions; assert agreement in norm, not bitwise
-            denom = np.linalg.norm(m) + 1e-8
-            rel = np.linalg.norm(a - m) / denom
-            assert rel < 0.01, (a.shape, rel)
+        for a, m in zip(
+            jax.tree_util.tree_leaves(applied),
+            jax.tree_util.tree_leaves(mean_grad),
+        ):
+            rel = np.linalg.norm(a - m) / (np.linalg.norm(m) + 1e-8)
+            assert rel < 1e-3, (a.shape, rel)

@@ -85,7 +85,9 @@ class HostPipeline:
     sources: list of objects exposing __len__, image_path(i), record(i)
     (data/freihand.py, data/youtube.py).  Batches contain:
       images (B, canvas, canvas, 3) uint8, joints25d (B, 21, 3),
-      K (B, 3, 3), scale (B,), joints_valid (B, 21, 1), joints3d (B, 21, 3)
+      K (B, 3, 3), scale (B,), joints_valid (B, 21, 1), joints3d (B, 21, 3),
+      joints_raw (B, 21, 3) original-frame coords for procrustes,
+      metric_scale (B,)
     """
 
     def __init__(
@@ -122,15 +124,22 @@ class HostPipeline:
         source = self.sources[src_id]
         rec = source.record(idx)
         img = decode_image(source.image_path(idx))
+        if rec.get("flip"):
+            # Left hands are mirrored to right (image AND joints; the
+            # source already mirrored the joints — youtube_loader.py:151-155).
+            img = img[:, ::-1]
         j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
         img, j25d, K = standardize_canvas(img, j25d, rec["K"], self.canvas)
         return {
-            "image": img,
+            "image": np.ascontiguousarray(img),
             "joints25d": j25d,
             "K": K,
             "scale": scale,
             "joints_valid": rec["joints_valid"],
             "joints3d": rec["joints3d"],
+            # Original-frame coordinates for procrustes eval
+            # (evaluation_utils.py:354-382); never canvas-transformed.
+            "joints_raw": rec.get("joints_raw", rec["joints3d"]),
             "metric_scale": rec.get("metric_scale", np.float32(1.0)),
         }
 
@@ -154,8 +163,10 @@ class HostPipeline:
             return None
         out = {"image": images}
         labels = []
-        for s, i in chunk:
+        for n, (s, i) in enumerate(chunk):
             rec = self.sources[s].record(i)
+            if rec.get("flip"):
+                images[n] = images[n, :, ::-1]
             j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
             labels.append(
                 {
@@ -164,6 +175,7 @@ class HostPipeline:
                     "scale": scale,
                     "joints_valid": rec["joints_valid"],
                     "joints3d": rec["joints3d"],
+                    "joints_raw": rec.get("joints_raw", rec["joints3d"]),
                     "metric_scale": rec.get("metric_scale", np.float32(1.0)),
                 }
             )

@@ -161,3 +161,124 @@ class TestSimCLRVariant:
             proj1 / np.linalg.norm(proj1, axis=1, keepdims=True),
             atol=1e-5,
         )
+
+
+class TestLeftHandPipelineFlip:
+    """The pipeline must mirror left-hand IMAGES, not just their joints
+    (youtube_loader.py:151-155) — round-1 bug: crops landed on the wrong
+    side of the frame for every left-hand YT3DH sample."""
+
+    @pytest.fixture(scope="class")
+    def lefty_root(self, tmp_path_factory):
+        """One valid left-hand frame: black 240x320 with a white 'hand'
+        blob at x~[60,100], joints (from a tight vertex cluster) on it."""
+        root = str(tmp_path_factory.mktemp("ytb_left"))
+        frames_dir = os.path.join(root, "youtube", "vidL", "video", "frames")
+        os.makedirs(frames_dir, exist_ok=True)
+        import cv2
+
+        name = "youtube/vidL/video/frames/0000.png"
+        img = np.zeros((240, 320, 3), np.uint8)
+        img[100:140, 60:100] = 255
+        cv2.imwrite(os.path.join(root, name.replace(".png", ".jpg")), img)
+        rng = np.random.default_rng(3)
+        verts = np.stack(
+            [rng.uniform(70, 90, 778), rng.uniform(110, 130, 778),
+             np.full(778, 7.0)], axis=1,
+        )
+        meta = {
+            "images": [{"id": 7, "name": name, "width": 320, "height": 240}],
+            "annotations": [
+                {"id": 0, "image_id": 7, "is_left": 1,
+                 "vertices": verts.tolist()}
+            ],
+        }
+        with open(os.path.join(root, "youtube_train.json"), "w") as f:
+            json.dump(meta, f)
+        return root
+
+    def test_crop_lands_on_the_hand(self, lefty_root):
+        from peclr_tpu.data.pipeline import HostPipeline
+        from peclr_tpu.data.youtube import YoutubeSource
+
+        pipe = HostPipeline(
+            [YoutubeSource(lefty_root, "train")], batch_size=1,
+            canvas=224, shuffle=False,
+        )
+        batch = next(pipe.batches(1))
+        img = batch["image"][0].astype(np.float32)
+        # joints were mirrored to x~240; if the image were NOT mirrored the
+        # crop would frame empty black pixels.  With the fix, the crop is
+        # centered on the (mirrored) blob.
+        c = img[92:132, 92:132].mean()
+        border = np.concatenate(
+            [img[:8].ravel(), img[-8:].ravel()]
+        ).mean()
+        assert c > 120.0, f"crop center is dark ({c:.1f}): image not flipped"
+        assert border < 40.0, f"crop border unexpectedly bright ({border:.1f})"
+        # joints25d sit near the canvas center, on the blob
+        assert np.all(np.abs(batch["joints25d"][0, :, :2] - 112.0) < 60.0)
+
+    def test_joints_raw_propagates(self, lefty_root):
+        """joints_raw must reach the batch in original-frame (mirrored)
+        coordinates with true depth — not the depth-pinned crop joints
+        (evaluation_utils.py:354-382 consumes it for procrustes)."""
+        from peclr_tpu.data.pipeline import HostPipeline
+        from peclr_tpu.data.youtube import YoutubeSource
+
+        pipe = HostPipeline(
+            [YoutubeSource(lefty_root, "train")], batch_size=1,
+            canvas=224, shuffle=False,
+        )
+        batch = next(pipe.batches(1))
+        raw = batch["joints_raw"][0]
+        assert raw.shape == (21, 3)
+        # x mirrored about width=320: cluster at ~80 -> ~240
+        assert 220.0 < raw[:, 0].mean() < 260.0
+        # true depth preserved (joints3d is pinned to 1.0 for the crop path)
+        np.testing.assert_allclose(raw[:, 2], 7.0, atol=1e-4)
+        np.testing.assert_allclose(batch["joints3d"][0][:, 2], 1.0)
+
+    def test_native_batch_path_flips(self, lefty_root, tmp_path):
+        """The C++ canvas-native fast path must apply the same mirror."""
+        from peclr_tpu.data import native_loader
+        from peclr_tpu.data.pipeline import HostPipeline
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        import cv2
+
+        img = np.zeros((224, 224, 3), np.uint8)
+        img[92:132, 40:80] = 255  # blob left of center
+        path = os.path.join(str(tmp_path), "f.jpg")
+        cv2.imwrite(path, img)
+
+        class CanvasSource:
+            image_size = (224, 224)
+
+            def __len__(self):
+                return 2
+
+            def image_path(self, i):
+                return path
+
+            def record(self, i):
+                j = np.zeros((21, 3), np.float32)
+                j[:, 0] = np.linspace(100.0, 124.0, 21)
+                j[:, 1], j[:, 2] = 112.0, 1.0
+                return {
+                    "K": np.eye(3, dtype=np.float32),
+                    "joints3d": j,
+                    "joints_valid": np.zeros((21, 1), np.float32),
+                    "joints_raw": j,
+                    "flip": bool(i == 1),
+                }
+
+        pipe = HostPipeline([CanvasSource()], batch_size=2, canvas=224,
+                            shuffle=False)
+        batch = next(pipe.batches(1))
+        assert "joints_raw" in batch
+        unflipped, flipped = batch["image"][0], batch["image"][1]
+        assert unflipped[92:132, 40:80].mean() > 150.0
+        assert flipped[92:132, 144:184].mean() > 150.0  # mirrored blob
+        assert flipped[92:132, 40:80].mean() < 50.0

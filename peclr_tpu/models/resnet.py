@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from peclr_tpu.ops.pooling import max_pool_3x3s2p1
+
 ModuleDef = Any
 
 #: stage template per resnet size: (block kind, blocks-per-stage)
@@ -174,7 +176,8 @@ class ResNetEncoder(nn.Module):
         x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = _bn(train, "bn1", self.dtype)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        # custom-vjp pool: XLA's SelectAndScatter backward is TPU-slow
+        x = max_pool_3x3s2p1(x)
 
         in_features = 64
         for stage_idx, num_blocks in enumerate(stages):

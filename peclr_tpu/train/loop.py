@@ -126,9 +126,18 @@ class PeCLRTrainer:
             augmentations = ()
         else:
             augmentations = model_cfg.augmentation or flags.active()
+        # Hot path runs WITHOUT the per-step projection stats; a second
+        # compiled variant computes them only on logged steps (reference logs
+        # them every step — hybrid2_model.py:40-45 — but at epoch cadence the
+        # 8 extra reductions/microbatch are pure overhead).  bench.py measures
+        # the stats-free variant, which is the shipped common path.
         self.train_step = make_peclr_train_step(
             self.model, tx, flags, train_cfg.augmentation_params,
-            accum=accum, augmentations=augmentations,
+            accum=accum, augmentations=augmentations, with_stats=False,
+        )
+        self._train_step_stats = make_peclr_train_step(
+            self.model, tx, flags, train_cfg.augmentation_params,
+            accum=accum, augmentations=augmentations, with_stats=True,
         )
         self.eval_step = make_peclr_eval_step(
             self.model, flags, train_cfg.augmentation_params,
@@ -164,9 +173,13 @@ class PeCLRTrainer:
                     )
                     if i == 0 and self.log_images:
                         self._log_pair_figure(batch, step_key, epoch)
-                    self.state, metrics = self.train_step(
-                        self.state, batch, step_key
+                    want_stats = (
+                        self.tracker.log_interval == "step" or i == 0
                     )
+                    step_fn = (
+                        self._train_step_stats if want_stats else self.train_step
+                    )
+                    self.state, metrics = step_fn(self.state, batch, step_key)
                     meter.tick(images_per_step)
                     for k, v in metrics.items():
                         epoch_metrics.setdefault(k, []).append(v)

@@ -225,18 +225,17 @@ class HostPipeline:
 def device_prefetch(batch_iter, mesh=None, buffer_size: int = 2):
     """Move host batches to device ahead of consumption (double-buffered).
 
-    With a mesh, leading axes are sharded over the mesh's data axis so each
-    chip receives only its slice over ICI-attached hosts.
+    With a mesh, batches route through parallel/multihost.py: each process
+    contributes its host-local rows and the assembled jax.Array is globally
+    batch-sharded over the mesh's data axis (a plain sharded device_put at
+    process_count()==1, `make_array_from_process_local_data` on pods).
     """
     import jax
 
     if mesh is not None:
-        from peclr_tpu.parallel.mesh import batch_sharding
+        from peclr_tpu.parallel.multihost import global_batch_from_host_local
 
-        sharding = batch_sharding(mesh)
-        put = lambda tree: jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), tree
-        )
+        put = lambda tree: global_batch_from_host_local(mesh, tree)
     else:
         put = lambda tree: jax.tree_util.tree_map(jax.device_put, tree)
 

@@ -1,0 +1,64 @@
+"""Multi-host batch feeding (parallel/multihost.py) on the virtual 8-device
+CPU mesh: the assembled global array must equal the concatenated host-local
+shards and be batch-sharded over the data axis.  At process_count()==1 the
+local batch IS the global batch; `make_array_from_process_local_data` is
+exercised directly so the pod path compiles and runs too."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from peclr_tpu.data.pipeline import device_prefetch
+from peclr_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from peclr_tpu.parallel.multihost import (
+    global_batch_from_host_local,
+    local_batch_size,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_global_batch_assembly(mesh):
+    n = mesh.devices.size
+    x = np.arange(2 * n * 3, dtype=np.float32).reshape(2 * n, 3)
+    tree = global_batch_from_host_local(mesh, {"x": x, "y": x[:, 0]})
+    assert tree["x"].shape == x.shape
+    np.testing.assert_array_equal(np.asarray(tree["x"]), x)
+    np.testing.assert_array_equal(np.asarray(tree["y"]), x[:, 0])
+    assert tree["x"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(DATA_AXIS)), x.ndim
+    )
+    # every device holds a contiguous 2-row slice of the global batch
+    for shard in tree["x"].addressable_shards:
+        lo = shard.index[0].start or 0
+        np.testing.assert_array_equal(np.asarray(shard.data), x[lo : lo + 2])
+
+
+def test_make_array_from_process_local_data_path(mesh):
+    # the >1-process branch, runnable single-process: local rows == global
+    n = mesh.devices.size
+    x = np.arange(n * 4, dtype=np.float32).reshape(n, 4)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    arr = jax.make_array_from_process_local_data(sharding, x)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    assert arr.sharding.is_equivalent_to(sharding, x.ndim)
+
+
+def test_device_prefetch_routes_through_multihost(mesh):
+    n = mesh.devices.size
+    batches = [{"image": np.full((n, 2, 2, 3), i, np.uint8)} for i in range(3)]
+    out = list(device_prefetch(iter(batches), mesh=mesh))
+    assert len(out) == 3
+    for i, b in enumerate(out):
+        assert b["image"].sharding.is_equivalent_to(
+            NamedSharding(mesh, P(DATA_AXIS)), 4
+        )
+        np.testing.assert_array_equal(np.asarray(b["image"]), batches[i]["image"])
+
+
+def test_local_batch_size_single_process():
+    assert local_batch_size(128) == 128 // jax.process_count()

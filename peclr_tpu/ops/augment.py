@@ -46,16 +46,45 @@ from peclr_tpu.ops.warp_mxu import affine_warp_mxu
 
 #: warp backend: "mxu" routes the bilinear warp through matmuls (fast on
 #: TPU — see ops/warp_mxu.py), "gather" is the direct 4-tap gather (exact
-#: reference semantics; slow on TPU, fine on CPU).  The augmentation
-#: geometry guarantees the mxu constraints (|angle| <= 45°, crop <= source).
+#: reference semantics; slow on TPU, fine on CPU).  The static sampling
+#: windows are sized from the config's angle/crop bounds (see
+#: `_warp_window_bounds`) so no in-range map is ever clipped.
 WARP_BACKEND = "mxu"
 
 
+def _warp_window_bounds(src_hw, out_hw, params: AugmentationParams,
+                        rotate: bool):
+    """Static window sizes for the two-pass MXU warp.
+
+    The horizontal sampling slope of the fused rotate∘crop∘resize map is
+    |alpha| = fw/cos(angle) where fw <= src/out (crops are clamped to the
+    source), so a 45° rotation of a full-canvas crop needs a window √2 wider
+    than the raw downscale factor — sizing it from the downscale alone
+    silently zeroes rows (caught by tests/test_interp_divergence.py).
+    """
+    import math
+
+    src_h, src_w = src_hw
+    out_h, out_w = out_hw
+    down_x = max(float(src_w) / out_w, 1.0)
+    down_y = max(float(src_h) / out_h, 1.0)
+    if rotate:
+        max_abs = max(abs(params.min_angle), abs(params.max_angle))
+        cos_bound = math.cos(math.radians(min(max_abs, 75.0)))
+    else:
+        cos_bound = 1.0
+    return down_x / cos_bound + 0.05, down_y + 0.05
+
+
 def affine_warp(images, matrices, out_hw, fill_value: float = 0.0,
-                interp: str = "linear"):
+                interp: str = "linear", window_bounds=None):
     if WARP_BACKEND == "mxu":
+        kw = {}
+        if window_bounds is not None:
+            kw = {"max_scale_x": window_bounds[0],
+                  "max_scale_y": window_bounds[1]}
         return affine_warp_mxu(
-            images, matrices, out_hw, fill_value, interp=interp
+            images, matrices, out_hw, fill_value, interp=interp, **kw
         )
     return affine_warp_gather(images, matrices, out_hw, fill_value)
 
@@ -222,6 +251,9 @@ def augment_batch(
     x = affine_warp(
         x, matrix, (out_h, out_w),
         interp=getattr(params, "interpolation", "linear"),
+        window_bounds=_warp_window_bounds(
+            (src_h, src_w), (out_h, out_w), params, flags.rotate
+        ),
     )
     joints_xy = jnp.stack(
         [

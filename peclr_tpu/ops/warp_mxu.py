@@ -158,18 +158,27 @@ def _default_compute_dtype():
 def affine_warp_mxu(
     images, matrices, out_hw, fill_value: float = 0.0, max_scale: float = 1.96,
     compute_dtype=None, interp: str = "linear",
+    max_scale_x: float | None = None, max_scale_y: float | None = None,
 ):
     """Drop-in replacement for ops.warp.affine_warp (same signature).
 
-    Constraints (always satisfied by the augmentation and leaderboard
-    paths; use the gather warp otherwise):
+    Constraints (must be guaranteed by the caller; use the gather warp
+    otherwise):
       * rotations within ±90° (the vertical component D stays positive);
-      * the source extent covered by one output row/column is at most
-        `max_scale` * out size (i.e. downscale factor ≤ max_scale beyond
-        which contributions are silently zero).
+      * the horizontal sampling slope |alpha| = |det/D| is at most
+        `max_scale_x` (NOTE: for a rotation+downscale map this is
+        downscale/cos(angle), NOT just the downscale factor) and the
+        vertical slope |D| at most `max_scale_y`, both in units of
+        out-size; positions beyond the static window contribute zero.
+        Callers with known angle/scale bounds must size the windows
+        accordingly (ops/augment.py derives them from the config).
     """
     if compute_dtype is None:
         compute_dtype = _default_compute_dtype()
+    if max_scale_x is None:
+        max_scale_x = max_scale
+    if max_scale_y is None:
+        max_scale_y = max_scale
     bsz, src_h, src_w, c = images.shape
     out_h, out_w = out_hw
     # bf16 pipeline: uint8-valued inputs are exactly representable; the two
@@ -187,10 +196,9 @@ def affine_warp_mxu(
 
     # static widths covering the sampling positions alpha*i / D*j (the
     # shifts bring the needed window to the origin, so the source extent is
-    # irrelevant — only the position range matters; keeping this under 254
-    # also keeps the fine barrel window at 384 lanes)
-    u_size = int(max_scale * out_w) + 2
-    v_size = int(max_scale * out_h) + 2
+    # irrelevant — only the position range matters)
+    u_size = int(max_scale_x * out_w) + 2
+    v_size = int(max_scale_y * out_h) + 2
 
     # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]

@@ -1,0 +1,216 @@
+"""Accuracy-parity proxy: PeCLR (equivariant) vs SimCLR (invariant) on
+synthetic hand data, judged by a frozen-encoder linear probe for 2D
+keypoints.
+
+The real FreiHAND/YT3DH data and released weights are unreachable here, so
+this is the locally-runnable evidence that the LEARNING semantics are right:
+with identical seeds, data, augmentations and optimizer, inverting the
+geometric transforms in projection space (the PeCLR contribution,
+hybrid2_model.py:27-90) must yield features from which hand pose is more
+linearly decodable than the invariant SimCLR baseline.
+
+Writes a JSONL regression artifact (tests/fixtures/accuracy_proxy.jsonl by
+default); tests/test_accuracy_proxy.py asserts the committed artifact.
+
+Run on any backend:   python scripts/accuracy_proxy.py
+CPU (slow, 1 core):   JAX_PLATFORMS=cpu python scripts/accuracy_proxy.py --steps 60
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Synthetic hand frames: a 21-joint template under random similarity
+# transforms, rendered with per-finger colors so images carry exact pose
+# information (the probe's signal).
+# ---------------------------------------------------------------------------
+
+_TEMPLATE = None
+
+
+def hand_template() -> np.ndarray:
+    """(21, 2) canonical hand: wrist + 5 fingers x 4 joints, AIT order
+    (wrist, 5 mcp, 5 pip, 5 dip, 5 tip)."""
+    global _TEMPLATE
+    if _TEMPLATE is None:
+        wrist = np.array([[0.0, 0.0]])
+        angles = np.deg2rad(np.array([-50, -25, 0, 25, 50]))
+        dirs = np.stack([np.sin(angles), -np.cos(angles)], axis=1)
+        rows = [wrist]
+        for r in (0.35, 0.55, 0.72, 0.88):  # mcp, pip, dip, tip rings
+            rows.append(dirs * r)
+        _TEMPLATE = np.concatenate(rows, axis=0)
+    return _TEMPLATE
+
+
+_BONES = [(0, m) for m in range(1, 6)] + [
+    (1 + 5 * k + f, 1 + 5 * (k + 1) + f) for k in range(3) for f in range(5)
+]
+_FINGER_COLORS = np.array(
+    [[255, 60, 60], [60, 255, 60], [60, 60, 255], [255, 255, 60], [255, 60, 255]],
+    np.float32,
+)
+
+
+def render_batch(rng: np.random.Generator, n: int, canvas: int = 128):
+    """Returns (images uint8 (n, canvas, canvas, 3), joints25d (n, 21, 3))."""
+    import cv2
+
+    imgs = np.empty((n, canvas, canvas, 3), np.uint8)
+    joints = np.empty((n, 21, 3), np.float32)
+    t = hand_template()
+    for i in range(n):
+        scale = rng.uniform(0.22, 0.38) * canvas
+        theta = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(theta), np.sin(theta)
+        rot = np.array([[c, -s], [s, c]])
+        center = rng.uniform(0.3, 0.7, 2) * canvas
+        pts = t @ rot.T * scale + center
+        img = (rng.integers(0, 60, (canvas, canvas, 3))).astype(np.uint8)
+        for a, b in _BONES:
+            fid = (max(a, b) - 1) % 5
+            col = tuple(int(v) for v in _FINGER_COLORS[fid])
+            cv2.line(img, tuple(np.round(pts[a]).astype(int)),
+                     tuple(np.round(pts[b]).astype(int)), col, 2)
+        for j, p in enumerate(pts):
+            col = (255, 255, 255) if j == 0 else tuple(
+                int(v) for v in _FINGER_COLORS[(j - 1) % 5]
+            )
+            cv2.circle(img, tuple(np.round(p).astype(int)), 2, col, -1)
+        imgs[i] = img
+        joints[i, :, :2] = pts
+        joints[i, :, 2] = 0.0
+    return imgs, joints
+
+
+# ---------------------------------------------------------------------------
+
+
+def pretrain(kind: str, imgs, joints, steps: int, batch: int, seed: int,
+             view: int, resnet: str):
+    """Pretrain one model; returns embeddings fn (params frozen)."""
+    import jax
+    import jax.numpy as jnp
+
+    from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
+    from peclr_tpu.models import PeCLRModel
+    from peclr_tpu.train.optimizer import build_optimizer
+    from peclr_tpu.train.state import TrainState
+    from peclr_tpu.train.step import make_peclr_train_step
+
+    flags = AugmentationFlags(crop=True, rotate=True, resize=True,
+                              color_jitter=True)
+    aug = AugmentationParams(resize_shape=(view, view))
+    model = PeCLRModel(resnet_size=resnet, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, view, view, 3)), train=False
+    )
+    tx, _ = build_optimizer(
+        variables["params"], base_lr=5e-5, batch_size=batch, accum=1,
+        steps_per_epoch=steps, epochs=1, warmup_epochs=0, optimizer="adam",
+    )
+    state = TrainState.create(variables, tx)
+    # the ONLY difference between the two runs: SimCLR applies no inverse
+    # transforms in projection space (cli/train.py simclr experiment type)
+    augmentations = () if kind == "simclr" else ("crop", "rotate")
+    step = make_peclr_train_step(
+        model, tx, flags, aug, accum=1, augmentations=augmentations,
+        with_stats=False, donate=False,
+    )
+    key = jax.random.PRNGKey(seed)
+    n = imgs.shape[0]
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        idx = np.random.default_rng(1000 * seed + i).integers(0, n, batch)
+        bd = {"image": jnp.asarray(imgs[idx]),
+              "joints25d": jnp.asarray(joints[idx])}
+        state, m = step(state, bd, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    print(f"  {kind}: loss {losses[0]:.4f} -> {np.mean(losses[-10:]):.4f} "
+          f"({time.time() - t0:.0f}s)")
+
+    from peclr_tpu.ops import image as im
+
+    @jax.jit
+    def embed(images_u8):
+        x = im.normalize_imagenet(images_u8.astype(jnp.float32) / 255.0)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        return out["embedding"]
+
+    return embed, losses
+
+
+def linear_probe(embed, imgs, joints, view: int, train_n: int, seed: int):
+    """Ridge-regress 2D keypoints from frozen embeddings; returns val EPE
+    in canvas pixels."""
+    import cv2
+    import jax.numpy as jnp
+
+    canvas = imgs.shape[1]
+    small = np.stack([cv2.resize(im, (view, view)) for im in imgs])
+    feats = []
+    for i in range(0, len(small), 256):
+        feats.append(np.asarray(embed(jnp.asarray(small[i : i + 256]))))
+    f = np.concatenate(feats).astype(np.float64)
+    f = (f - f[:train_n].mean(0)) / (f[:train_n].std(0) + 1e-6)
+    f = np.concatenate([f, np.ones((len(f), 1))], axis=1)
+    y = joints[:, :, :2].reshape(len(f), -1).astype(np.float64) / canvas
+    ftr, ytr = f[:train_n], y[:train_n]
+    w = np.linalg.solve(ftr.T @ ftr + 1e-3 * np.eye(f.shape[1]), ftr.T @ ytr)
+    pred = f[train_n:] @ w
+    err = (pred - y[train_n:]).reshape(-1, 21, 2) * canvas
+    return float(np.sqrt((err ** 2).sum(-1)).mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--num-images", type=int, default=2048)
+    ap.add_argument("--probe-train", type=int, default=1536)
+    ap.add_argument("--view", type=int, default=64)
+    ap.add_argument("--resnet", default="18")
+    ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--out", default="tests/fixtures/accuracy_proxy.jsonl")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(args.seed)
+    imgs, joints = render_batch(rng, args.num_images)
+    print(f"synthetic set: {imgs.shape}, probe train {args.probe_train}")
+
+    results = {}
+    for kind in ("peclr", "simclr"):
+        embed, losses = pretrain(
+            kind, imgs, joints, args.steps, args.batch, args.seed,
+            args.view, args.resnet,
+        )
+        epe = linear_probe(embed, imgs, joints, args.view,
+                           args.probe_train, args.seed)
+        results[kind] = {"probe_epe_px": epe, "final_loss":
+                         float(np.mean(losses[-10:]))}
+        print(f"  {kind}: probe EPE {epe:.2f} px")
+
+    record = {
+        "config": {k: v for k, v in vars(args).items() if k != "out"},
+        "backend": __import__("jax").default_backend(),
+        **results,
+        "epe_ratio_peclr_over_simclr":
+            results["peclr"]["probe_epe_px"] / results["simclr"]["probe_epe_px"],
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "a") as fh:
+        fh.write(json.dumps(record) + "\n")
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

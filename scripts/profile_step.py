@@ -1,9 +1,20 @@
-"""Component-level timing of the PeCLR train step on the current backend.
+"""Parameterized profiler for the PeCLR train step on the current backend.
 
-Times: full step / augmentation only / encoder fwd / fwd+bwd / optimizer
-update, to locate the throughput bottleneck.
+One script replaces the round-1 profile_step{,2..5} scraps; the measurement
+history lives in BENCHLOG.md.
+
+Usage:
+  python scripts/profile_step.py                      # real step, recipe cfg
+  python scripts/profile_step.py --batch 256 --accum 1
+  python scripts/profile_step.py --ablate noaug,adam,stats,augonly
+  python scripts/profile_step.py --trace /tmp/xplane  # jax.profiler trace
+
+Measurement rule (CLAUDE.md): on the tunneled TPU backend only
+data-dependent chains report true device time, so every variant chains
+state -> state (or output -> input) across iterations.
 """
 
+import argparse
 import time
 
 import jax
@@ -11,92 +22,125 @@ import jax.numpy as jnp
 import numpy as np
 
 from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
-from peclr_tpu.losses.equivariance import peclr_projections
-from peclr_tpu.losses.ntxent import ntxent_loss
 from peclr_tpu.models import PeCLRModel
 from peclr_tpu.ops.augment import augment_pair
 from peclr_tpu.train.optimizer import build_optimizer
 from peclr_tpu.train.state import TrainState
 from peclr_tpu.train.step import make_peclr_train_step
 
-B = 256
 
-
-def timeit(name, fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def chain_time(step, state, batch, key, iters):
+    """Time `iters` state-chained steps (compile + warmup excluded)."""
+    s, _ = step(state, batch, jax.random.fold_in(key, 0))
+    s, m = step(s, batch, jax.random.fold_in(key, 1))
+    jax.block_until_ready(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:28s} {dt * 1e3:8.2f} ms   ({B / dt:8.0f} img/s)")
-    return dt
+    for i in range(iters):
+        s, m = step(s, batch, jax.random.fold_in(key, 2 + i))
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / iters
 
 
-def main():
-    rng = np.random.default_rng(0)
+def make_batch(n, canvas=224, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "image": jax.device_put(
+            rng.integers(0, 256, size=(n, canvas, canvas, 3), dtype=np.uint8)
+        ),
+        "joints25d": jax.device_put(
+            np.concatenate(
+                [
+                    rng.uniform(60, 160, (n, 21, 2)).astype(np.float32),
+                    rng.normal(size=(n, 21, 1)).astype(np.float32),
+                ],
+                axis=-1,
+            )
+        ),
+    }
+
+
+def build(batch, accum, optimizer="LARS", with_stats=False, flags=None):
     model = PeCLRModel(resnet_size="50", dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
     )
     tx, _ = build_optimizer(
-        variables["params"], 1e-4, B, 1, 1000, 100, optimizer="LARS"
+        variables["params"], base_lr=1e-4, batch_size=batch, accum=accum,
+        steps_per_epoch=1000, epochs=100, optimizer=optimizer,
     )
     state = TrainState.create(variables, tx)
-    flags = peclr_pretrain_flags()
-    aug = AugmentationParams()
-
-    images = jax.device_put(
-        rng.integers(0, 256, (B, 224, 224, 3), dtype=np.uint8)
-    )
-    joints = jax.device_put(
-        np.concatenate(
-            [rng.uniform(60, 160, (B, 21, 2)), rng.normal(size=(B, 21, 1))],
-            axis=-1,
-        ).astype(np.float32)
-    )
-    views = jax.device_put(
-        rng.normal(size=(2 * B, 128, 128, 3)).astype(np.float32)
-    )
-    key = jax.random.PRNGKey(0)
-
-    # 1. full step
     step = make_peclr_train_step(
-        model, tx, flags, aug, accum=1, with_stats=False, donate=False
+        model, tx, flags or peclr_pretrain_flags(), AugmentationParams(),
+        accum=accum, with_stats=with_stats, donate=False,
     )
-    timeit("full train step", lambda: step(state, {"image": images, "joints25d": joints}, key)[1]["loss"])
+    return state, step
 
-    # 2. augmentation only
-    aug_fn = jax.jit(
-        lambda k, im, j: augment_pair(k, im, j, flags, aug)[0].images
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--accum", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument(
+        "--ablate", default="",
+        help="comma list: noaug (disable all augmentation flags), "
+        "adam (optimizer=adam), stats (with_stats=True), "
+        "augonly (augment_pair alone, output-chained)",
     )
-    timeit("augment_pair", aug_fn, key, images, joints)
+    ap.add_argument("--trace", default=None, help="xplane trace dir")
+    args = ap.parse_args()
 
-    # 3. forward only (fixed views)
-    fwd = jax.jit(
-        lambda v, x: model.apply(v, x, train=False)["projection"]
-    )
-    timeit("encoder fwd (2B views)", fwd, variables, views)
+    n = args.batch * args.accum
+    batch = make_batch(n)
+    key = jax.random.PRNGKey(0)
+    variants = [("full", {})]
+    for name in filter(None, args.ablate.split(",")):
+        if name == "noaug":
+            import dataclasses
 
-    # 4. fwd+bwd (fixed views)
-    def loss_fn(params, x):
-        out = model.apply(
-            {"params": params, "batch_stats": variables["batch_stats"]},
-            x, train=True, mutable=["batch_stats"],
-        )[0]
-        p = out["projection"]
-        z1 = p[:B] / jnp.linalg.norm(p[:B], axis=1, keepdims=True)
-        z2 = p[B:] / jnp.linalg.norm(p[B:], axis=1, keepdims=True)
-        return ntxent_loss(z1, z2)
+            f = peclr_pretrain_flags()
+            off = {fld.name: False for fld in dataclasses.fields(f)}
+            variants.append(("noaug", {"flags": type(f)(**off)}))
+        elif name == "adam":
+            variants.append(("adam", {"optimizer": "adam"}))
+        elif name == "stats":
+            variants.append(("stats", {"with_stats": True}))
+        elif name == "augonly":
+            variants.append(("augonly", None))
+        else:
+            raise SystemExit(f"unknown ablation: {name}")
 
-    bwd = jax.jit(jax.grad(loss_fn))
-    timeit("fwd+bwd (2B views)", lambda: bwd(variables["params"], views))
+    for name, overrides in variants:
+        if overrides is None:  # augonly: chain view1 -> next input
+            flags, aug = peclr_pretrain_flags(), AugmentationParams()
 
-    # 5. optimizer update only
-    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
-    opt = jax.jit(lambda g, s, p: tx.update(g, s, p)[0])
-    timeit("optimizer update", opt, grads, state.opt_state, state.params)
+            @jax.jit
+            def aug_only(images, joints, k):
+                v1, v2 = augment_pair(k, images, joints, flags, aug)
+                return v1.images, v2.images
+
+            img = batch["image"][: args.batch]
+            j = batch["joints25d"][: args.batch]
+            v1, _ = aug_only(img, j, key)
+            jax.block_until_ready(v1)
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                carry = jnp.round(v1[:, :224, :224] if v1.shape[1] >= 224
+                                  else jnp.pad(v1, ((0, 0), (0, 224 - v1.shape[1]),
+                                                    (0, 224 - v1.shape[2]), (0, 0))))
+                v1, _ = aug_only(carry.astype(jnp.uint8), j,
+                                 jax.random.fold_in(key, i))
+            jax.block_until_ready(v1)
+            dt = (time.perf_counter() - t0) / args.iters
+        else:
+            state, step = build(args.batch, args.accum, **overrides)
+            if args.trace and name == "full":
+                with jax.profiler.trace(args.trace):
+                    dt = chain_time(step, state, batch, key, args.iters)
+                print(f"xplane trace -> {args.trace}")
+            else:
+                dt = chain_time(step, state, batch, key, args.iters)
+        print(f"{name:8s} {dt * 1e3:8.2f} ms/step   {n / dt:8.0f} img/s")
 
 
 if __name__ == "__main__":

@@ -52,8 +52,12 @@ def main():
 
     flags = peclr_pretrain_flags()
     aug = AugmentationParams()  # 224 canvas -> 128x128 views
+    # BENCH_COMPILER_OPTIONS (JSON) overrides the production default
+    # (train/step.py DEFAULT_TPU_COMPILER_OPTIONS) for A/B sweeps
+    opts = os.environ.get("BENCH_COMPILER_OPTIONS")
     step = make_peclr_train_step(
-        model, tx, flags, aug, accum=accum, with_stats=False, donate=True
+        model, tx, flags, aug, accum=accum, with_stats=False, donate=True,
+        compiler_options=json.loads(opts) if opts else "auto",
     )
 
     rng = np.random.default_rng(0)

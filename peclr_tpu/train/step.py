@@ -33,6 +33,44 @@ from peclr_tpu.losses.ntxent import ntxent_loss
 from peclr_tpu.ops.augment import augment_pair
 from peclr_tpu.train.state import TrainState
 
+#: XLA options applied to the train step on TPU backends.  The latency-hiding
+#: scheduler measured +9% on the RN50 PeCLR recipe (v5e: 3092 -> 3367
+#: img/s/chip, BENCHLOG.md round 2); the axon tunnel rejects TPU flags in
+#: XLA_FLAGS but honors per-compile options, so they are applied via AOT
+#: lower/compile.
+DEFAULT_TPU_COMPILER_OPTIONS = {"xla_tpu_enable_latency_hiding_scheduler": True}
+
+
+def _resolve_compiler_options(compiler_options):
+    if compiler_options != "auto":
+        return compiler_options
+    if jax.default_backend() in ("cpu",):  # options are TPU-specific
+        return None
+    return DEFAULT_TPU_COMPILER_OPTIONS
+
+
+def _jit_with_options(fn, donate_argnums, compiler_options):
+    """jit, optionally AOT-compiled with XLA compiler options (cached per
+    arg shapes/dtypes/shardings)."""
+    jitted = jax.jit(fn, donate_argnums=donate_argnums)
+    if not compiler_options:
+        return jitted
+    cache = {}
+
+    def wrapper(*args):
+        key = tuple(
+            (l.shape, str(l.dtype), str(getattr(l, "sharding", None)))
+            for l in jax.tree_util.tree_leaves(args)
+            if hasattr(l, "shape")
+        )
+        compiled = cache.get(key)
+        if compiled is None:
+            compiled = jitted.lower(*args).compile(dict(compiler_options))
+            cache[key] = compiled
+        return compiled(*args)
+
+    return wrapper
+
 
 def projection_stats(proj, name: str) -> Dict[str, jnp.ndarray]:
     """Per-axis stats of the (B, 64, 2) projection cloud — logging parity
@@ -58,11 +96,15 @@ def make_peclr_train_step(
     augmentations: Optional[Sequence[str]] = None,
     with_stats: bool = True,
     donate: bool = True,
+    compiler_options="auto",
 ) -> Callable:
     """Build the jitted train step.
 
     Returns step(state, batch, key) -> (state, metrics) where batch contains
     'image' (accum*B, H, W, 3) uint8 and 'joints25d' (accum*B, 21, 3).
+
+    compiler_options: dict of XLA options, None, or "auto"
+    (DEFAULT_TPU_COMPILER_OPTIONS on TPU backends, nothing on CPU).
     """
     if augmentations is None:
         augmentations = flags.active()
@@ -140,7 +182,11 @@ def make_peclr_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return _jit_with_options(
+        train_step,
+        (0,) if donate else (),
+        _resolve_compiler_options(compiler_options),
+    )
 
 
 def make_peclr_eval_step(

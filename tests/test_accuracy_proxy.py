@@ -1,0 +1,42 @@
+"""Regression assertion on the committed accuracy-proxy artifact.
+
+scripts/accuracy_proxy.py pretrains PeCLR vs SimCLR with identical
+seeds/data/augmentations on synthetic hand frames and linear-probes the
+frozen encoders for 2D keypoints.  The committed JSONL records the runs; the
+PeCLR (equivariant) probe must beat the SimCLR (invariant) one — the only
+locally-runnable evidence that the equivariance semantics help, not just
+compile (VERDICT r1 item 7; the claim itself: hybrid2_model.py:27-90)."""
+
+import json
+import os
+
+import pytest
+
+ARTIFACT = os.path.join(
+    os.path.dirname(__file__), "fixtures", "accuracy_proxy.jsonl"
+)
+
+
+def _records():
+    if not os.path.exists(ARTIFACT):
+        pytest.fail("accuracy_proxy.jsonl artifact missing — run "
+                    "scripts/accuracy_proxy.py")
+    with open(ARTIFACT) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_artifact_schema():
+    for r in _records():
+        assert {"config", "peclr", "simclr",
+                "epe_ratio_peclr_over_simclr"} <= set(r)
+        assert r["peclr"]["probe_epe_px"] > 0
+        assert r["simclr"]["probe_epe_px"] > 0
+
+
+def test_equivariant_beats_invariant():
+    rs = _records()
+    # every committed run must show the PeCLR probe strictly better, with
+    # at least a 3% margin on the primary (largest-steps) run
+    assert all(r["epe_ratio_peclr_over_simclr"] < 1.0 for r in rs)
+    primary = max(rs, key=lambda r: r["config"]["steps"])
+    assert primary["epe_ratio_peclr_over_simclr"] < 0.97, primary

@@ -22,6 +22,7 @@ from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
 from peclr_tpu.eval.evaluate import supervised_sample_batch
 from peclr_tpu.losses.supervised import l1_loss_25d, loss_3d
 from peclr_tpu.train.state import TrainState
+from peclr_tpu.train.step import _jit_with_options, _resolve_compiler_options
 
 
 def make_finetune_step(
@@ -32,6 +33,7 @@ def make_finetune_step(
     use_palm: bool = False,
     loss_3d_weight: float = 0.0,
     donate: bool = True,
+    compiler_options="auto",
 ) -> Callable:
     """step(state, batch, key) -> (state, metrics).
 
@@ -86,7 +88,9 @@ def make_finetune_step(
         )
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return _jit_with_options(
+        step, (0,) if donate else (), _resolve_compiler_options(compiler_options)
+    )
 
 
 def load_pretrained_encoder(variables, peclr_state_dict, resnet_size: str):

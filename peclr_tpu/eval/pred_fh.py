@@ -71,11 +71,13 @@ def bbox_from_kp2d(kp2d):
 
 def make_two_pass_predictor(model, variables) -> Callable:
     """Returns predict(images_u8 (B,224,224,3), K (B,3,3)) -> kp3d (B,21,3)
-    — the full two-pass pipeline as one jitted function."""
+    — the full two-pass pipeline as one jitted function (TPU backends get
+    the measured compiler options, train/step.py)."""
+
+    from peclr_tpu.train.step import _jit_with_options, _resolve_compiler_options
 
     T0 = jnp.asarray(initial_affine())
 
-    @jax.jit
     def predict(images_u8, K):
         b = images_u8.shape[0]
         T1 = jnp.broadcast_to(T0, (b, 3, 3))
@@ -104,7 +106,7 @@ def make_two_pass_predictor(model, variables) -> Callable:
         kp3d = out2["kp3d"]
         return move_palm_to_wrist(kp3d)
 
-    return predict
+    return _jit_with_options(predict, (), _resolve_compiler_options("auto"))
 
 
 def predict_leaderboard(

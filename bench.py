@@ -24,6 +24,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     accum = int(os.environ.get("BENCH_ACCUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    resnet = os.environ.get("BENCH_RESNET", "50")
 
     import jax
 
@@ -40,7 +41,7 @@ def main():
     from peclr_tpu.train.state import TrainState
     from peclr_tpu.train.step import make_peclr_train_step
 
-    model = PeCLRModel(resnet_size="50", dtype=jnp.bfloat16)
+    model = PeCLRModel(resnet_size=resnet, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
     )
@@ -94,8 +95,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "aug+train images/sec/chip (RN50 PeCLR, microbatch "
-                f"{batch} x accum {accum}, bf16)",
+                "metric": f"aug+train images/sec/chip (RN{resnet} PeCLR, "
+                f"microbatch {batch} x accum {accum}, bf16)",
                 "value": round(img_per_sec, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),

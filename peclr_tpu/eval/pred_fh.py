@@ -74,7 +74,7 @@ def make_two_pass_predictor(model, variables) -> Callable:
     — the full two-pass pipeline as one jitted function (TPU backends get
     the measured compiler options, train/step.py)."""
 
-    from peclr_tpu.train.step import _jit_with_options, _resolve_compiler_options
+    from peclr_tpu.train.step import jit_with_options, resolve_compiler_options
 
     T0 = jnp.asarray(initial_affine())
 
@@ -106,7 +106,7 @@ def make_two_pass_predictor(model, variables) -> Callable:
         kp3d = out2["kp3d"]
         return move_palm_to_wrist(kp3d)
 
-    return _jit_with_options(predict, (), _resolve_compiler_options("auto"))
+    return jit_with_options(predict, (), resolve_compiler_options("auto"))
 
 
 def predict_leaderboard(

@@ -22,7 +22,7 @@ from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
 from peclr_tpu.eval.evaluate import supervised_sample_batch
 from peclr_tpu.losses.supervised import l1_loss_25d, loss_3d
 from peclr_tpu.train.state import TrainState
-from peclr_tpu.train.step import _jit_with_options, _resolve_compiler_options
+from peclr_tpu.train.step import jit_with_options, resolve_compiler_options
 
 
 def make_finetune_step(
@@ -88,8 +88,8 @@ def make_finetune_step(
         )
         return new_state, metrics
 
-    return _jit_with_options(
-        step, (0,) if donate else (), _resolve_compiler_options(compiler_options)
+    return jit_with_options(
+        step, (0,) if donate else (), resolve_compiler_options(compiler_options)
     )
 
 

@@ -34,14 +34,15 @@ from peclr_tpu.ops.augment import augment_pair
 from peclr_tpu.train.state import TrainState
 
 #: XLA options applied to the train step on TPU backends.  The latency-hiding
-#: scheduler measured +9% on the RN50 PeCLR recipe (v5e: 3092 -> 3367
-#: img/s/chip, BENCHLOG.md round 2); the axon tunnel rejects TPU flags in
-#: XLA_FLAGS but honors per-compile options, so they are applied via AOT
-#: lower/compile.
+#: scheduler measured 3357 -> 3367 img/s on the RN50 PeCLR recipe (v5e,
+#: BENCHLOG.md round 2) — small but consistently the best config; scoped-vmem
+#: raises HURT (-10/-18%) and are not used.  The axon tunnel rejects TPU
+#: flags in XLA_FLAGS but honors per-compile options, so they are applied
+#: via AOT lower/compile.
 DEFAULT_TPU_COMPILER_OPTIONS = {"xla_tpu_enable_latency_hiding_scheduler": True}
 
 
-def _resolve_compiler_options(compiler_options):
+def resolve_compiler_options(compiler_options):
     if compiler_options != "auto":
         return compiler_options
     if jax.default_backend() in ("cpu",):  # options are TPU-specific
@@ -49,7 +50,7 @@ def _resolve_compiler_options(compiler_options):
     return DEFAULT_TPU_COMPILER_OPTIONS
 
 
-def _jit_with_options(fn, donate_argnums, compiler_options):
+def jit_with_options(fn, donate_argnums, compiler_options):
     """jit, optionally AOT-compiled with XLA compiler options (cached per
     arg shapes/dtypes/shardings)."""
     jitted = jax.jit(fn, donate_argnums=donate_argnums)
@@ -182,10 +183,10 @@ def make_peclr_train_step(
         )
         return new_state, metrics
 
-    return _jit_with_options(
+    return jit_with_options(
         train_step,
         (0,) if donate else (),
-        _resolve_compiler_options(compiler_options),
+        resolve_compiler_options(compiler_options),
     )
 
 

@@ -1,0 +1,103 @@
+"""Multi-chip scaling benchmark: the full PeCLR train step data-parallel
+over every visible device.
+
+On a real pod slice this measures weak scaling (global batch = per-chip
+microbatch x accum x n_chips) and prints per-chip throughput — the global-
+view NT-Xent means the loss semantics match the single-chip program at the
+same global batch (PARITY §2.2).  On a CPU host it runs on the virtual
+device mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8) and only
+validates that the sharded program compiles and steps — CPU timings are not
+meaningful, and the config must stay tiny (the CPU collective runtime
+hard-aborts a rendezvous after 40 s, which big per-step configs exceed on
+an oversubscribed host):
+
+  python scripts/bench_multichip.py --batch 2 --accum 2 --iters 1 \
+      --canvas 64 --view 32 --resnet 18
+
+Pod usage: python scripts/bench_multichip.py [--batch 128] [--accum 4]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
+from peclr_tpu.models import PeCLRModel
+from peclr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from peclr_tpu.train.optimizer import build_optimizer
+from peclr_tpu.train.state import TrainState
+from peclr_tpu.train.step import make_peclr_train_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128, help="per-chip microbatch")
+    ap.add_argument("--accum", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--resnet", default="50")
+    ap.add_argument("--canvas", type=int, default=224)
+    ap.add_argument("--view", type=int, default=128)
+    args = ap.parse_args()
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    global_n = args.batch * args.accum * n
+    print(f"mesh: {n} x {jax.devices()[0].platform}, global batch/step {global_n}")
+
+    model = PeCLRModel(resnet_size=args.resnet, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.view, args.view, 3)),
+        train=False,
+    )
+    tx, _ = build_optimizer(
+        variables["params"], base_lr=1e-4, batch_size=args.batch * n,
+        accum=args.accum, steps_per_epoch=1000, epochs=100,
+    )
+    state = jax.device_put(TrainState.create(variables, tx), replicated(mesh))
+    step = make_peclr_train_step(
+        model, tx, peclr_pretrain_flags(),
+        AugmentationParams(resize_shape=(args.view, args.view)),
+        accum=args.accum, with_stats=False, donate=True,
+    )
+
+    rng = np.random.default_rng(0)
+    sh = batch_sharding(mesh)
+    batch = {
+        "image": jax.device_put(
+            rng.integers(0, 256, (global_n, args.canvas, args.canvas, 3),
+                         dtype=np.uint8), sh
+        ),
+        "joints25d": jax.device_put(
+            np.concatenate(
+                [
+                    rng.uniform(
+                0.27 * args.canvas, 0.71 * args.canvas, (global_n, 21, 2)
+            ).astype(np.float32),
+                    rng.normal(size=(global_n, 21, 1)).astype(np.float32),
+                ],
+                axis=-1,
+            ),
+            sh,
+        ),
+    }
+
+    key = jax.random.PRNGKey(0)
+    state, m = step(state, batch, key)
+    state, m = step(state, batch, jax.random.fold_in(key, 1))
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, m = step(state, batch, jax.random.fold_in(key, 2 + i))
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(
+        f"loss={float(m['loss']):.4f}  {dt * 1e3:.1f} ms/step  "
+        f"{global_n / dt:.0f} img/s total  {global_n / dt / n:.0f} img/s/chip"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ def main():
     accum = int(os.environ.get("BENCH_ACCUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     resnet = os.environ.get("BENCH_RESNET", "50")
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
 
     import jax
 
@@ -57,8 +58,8 @@ def main():
     # (train/step.py DEFAULT_TPU_COMPILER_OPTIONS) for A/B sweeps
     opts = os.environ.get("BENCH_COMPILER_OPTIONS")
     step = make_peclr_train_step(
-        model, tx, flags, aug, accum=accum, with_stats=False, donate=True,
-        compiler_options=json.loads(opts) if opts else "auto",
+        model, tx, flags, aug, accum=accum, unroll=unroll, with_stats=False,
+        donate=True, compiler_options=json.loads(opts) if opts else "auto",
     )
 
     rng = np.random.default_rng(0)

@@ -100,7 +100,12 @@ def main():
                 f"microbatch {batch} x accum {accum}, bf16)",
                 "value": round(img_per_sec, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+                # the 4,000 north star is the RN50 recipe's target; other
+                # BENCH_RESNET selections have no published baseline
+                "vs_baseline": (
+                    round(img_per_sec / BASELINE_IMG_PER_SEC, 3)
+                    if resnet == "50" else None
+                ),
             }
         )
     )

@@ -120,20 +120,16 @@ class HostPipeline:
     def steps_per_epoch(self) -> int:
         return len(self) // self.batch_size
 
-    def _load_one(self, src_id: int, idx: int) -> Dict[str, np.ndarray]:
-        source = self.sources[src_id]
-        rec = source.record(idx)
-        img = decode_image(source.image_path(idx))
-        if rec.get("flip"):
-            # Left hands are mirrored to right (image AND joints; the
-            # source already mirrored the joints — youtube_loader.py:151-155).
-            img = img[:, ::-1]
+    @staticmethod
+    def _labels_from_record(rec) -> Dict[str, np.ndarray]:
+        """The label fields every batch carries, derived once from a source
+        record — shared by the threaded path and the native fast path so a
+        new field cannot be added to only one of them (the round-1
+        left-hand-flip bug came from exactly that divergence)."""
         j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
-        img, j25d, K = standardize_canvas(img, j25d, rec["K"], self.canvas)
         return {
-            "image": np.ascontiguousarray(img),
             "joints25d": j25d,
-            "K": K,
+            "K": rec["K"],
             "scale": scale,
             "joints_valid": rec["joints_valid"],
             "joints3d": rec["joints3d"],
@@ -142,6 +138,21 @@ class HostPipeline:
             "joints_raw": rec.get("joints_raw", rec["joints3d"]),
             "metric_scale": rec.get("metric_scale", np.float32(1.0)),
         }
+
+    def _load_one(self, src_id: int, idx: int) -> Dict[str, np.ndarray]:
+        source = self.sources[src_id]
+        rec = source.record(idx)
+        img = decode_image(source.image_path(idx))
+        if rec.get("flip"):
+            # Left hands are mirrored to right (image AND joints; the
+            # source already mirrored the joints — youtube_loader.py:151-155).
+            img = img[:, ::-1]
+        labels = self._labels_from_record(rec)
+        img, j25d, K = standardize_canvas(
+            img, labels["joints25d"], rec["K"], self.canvas
+        )
+        labels.update({"joints25d": j25d, "K": K})
+        return {"image": np.ascontiguousarray(img), **labels}
 
     def _collate(self, samples: List[Dict[str, np.ndarray]]):
         return {
@@ -166,19 +177,10 @@ class HostPipeline:
         for n, (s, i) in enumerate(chunk):
             rec = self.sources[s].record(i)
             if rec.get("flip"):
+                # canvas-native sources: frame == canvas, so the mirror can
+                # be applied post-decode in place
                 images[n] = images[n, :, ::-1]
-            j25d, scale = project_to_25d_np(rec["K"], rec["joints3d"])
-            labels.append(
-                {
-                    "joints25d": j25d,
-                    "K": rec["K"],
-                    "scale": scale,
-                    "joints_valid": rec["joints_valid"],
-                    "joints3d": rec["joints3d"],
-                    "joints_raw": rec.get("joints_raw", rec["joints3d"]),
-                    "metric_scale": rec.get("metric_scale", np.float32(1.0)),
-                }
-            )
+            labels.append(self._labels_from_record(rec))
         out.update({k: np.stack([l[k] for l in labels]) for k in labels[0]})
         return out
 

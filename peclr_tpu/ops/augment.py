@@ -70,7 +70,15 @@ def _warp_window_bounds(src_hw, out_hw, params: AugmentationParams,
     down_y = max(float(src_h) / out_h, 1.0)
     if rotate:
         max_abs = max(abs(params.min_angle), abs(params.max_angle))
-        cos_bound = math.cos(math.radians(min(max_abs, 75.0)))
+        if max_abs > 80.0:
+            # cos -> 0: the window would explode, and past 90 deg the
+            # two-pass decomposition itself is invalid.  Fail loudly
+            # instead of silently clipping (the round-1 bug class).
+            raise ValueError(
+                f"MXU warp supports |rotation| <= 80 deg (got {max_abs}); "
+                "use the gather warp backend for larger ranges"
+            )
+        cos_bound = math.cos(math.radians(max_abs))
     else:
         cos_bound = 1.0
     return down_x / cos_bound + 0.05, down_y + 0.05

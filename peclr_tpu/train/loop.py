@@ -71,7 +71,17 @@ class PeCLRTrainer:
             SAVED_META_INFO_PATH, self.experiment_name, log_interval=log_interval
         )
         self.tracker.log_parameters(
-            {"train": train_cfg.__dict__, "model": model_cfg.__dict__}
+            {
+                "train": train_cfg.__dict__,
+                "model": model_cfg.__dict__,
+                # at epoch cadence the proj* stats are a first-step-of-epoch
+                # SAMPLE, not an epoch mean (hot path skips them; see
+                # _train_step_stats gating in fit)
+                "projection_stats_cadence": (
+                    "per-step" if log_interval == "step"
+                    else "first-step-of-epoch sample"
+                ),
+            }
         )
         self.tracker.add_tags(["pretraining", "HYBRID2", *tags])
         if meta_file is not None:

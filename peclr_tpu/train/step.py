@@ -45,9 +45,11 @@ DEFAULT_TPU_COMPILER_OPTIONS = {"xla_tpu_enable_latency_hiding_scheduler": True}
 def resolve_compiler_options(compiler_options):
     if compiler_options != "auto":
         return compiler_options
-    if jax.default_backend() in ("cpu",):  # options are TPU-specific
-        return None
-    return DEFAULT_TPU_COMPILER_OPTIONS
+    # the default options are TPU-specific: allowlist TPU backends ('axon'
+    # is this environment's tunneled TPU plugin); GPU/CPU would reject them
+    if jax.default_backend() in ("tpu", "axon"):
+        return DEFAULT_TPU_COMPILER_OPTIONS
+    return None
 
 
 def jit_with_options(fn, donate_argnums, compiler_options):

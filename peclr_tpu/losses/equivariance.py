@@ -80,6 +80,9 @@ def peclr_projections(
     def one_view(proj, params):
         pts = _l2_normalize(proj).reshape(b, d // 2, 2)
         if "crop" in augmentations:
+            # reference quirk reproduced: jitter_x is normalized by
+            # image_shape[0] (the HEIGHT) and jitter_y by shape[1]
+            # (hybrid2_model.py:59-71); views are square so it is harmless
             tx = -params["jitter_x"] / float(h)
             ty = -params["jitter_y"] / float(w)
             pts = translate_projections(pts, tx, ty)

@@ -26,9 +26,12 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get(
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # 8 virtual devices time-share this 1-core box; the default 40 s
+    # rendezvous terminate limit flakes under scheduler starvation
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+os.environ["XLA_FLAGS"] = flags
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

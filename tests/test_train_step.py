@@ -240,3 +240,21 @@ class TestGradAccumSemantics:
         ):
             rel = np.linalg.norm(a - m) / (np.linalg.norm(m) + 1e-8)
             assert rel < 1e-3, (a.shape, rel)
+
+
+def test_resolve_compiler_options_backend_gating(monkeypatch):
+    """TPU-only options must not leak onto CPU/GPU backends (review r2)."""
+    import jax
+
+    from peclr_tpu.train import step as step_mod
+
+    assert step_mod.resolve_compiler_options(None) is None
+    assert step_mod.resolve_compiler_options({"a": 1}) == {"a": 1}
+    for backend, expect in [
+        ("cpu", None),
+        ("gpu", None),
+        ("tpu", step_mod.DEFAULT_TPU_COMPILER_OPTIONS),
+        ("axon", step_mod.DEFAULT_TPU_COMPILER_OPTIONS),
+    ]:
+        monkeypatch.setattr(jax, "default_backend", lambda b=backend: b)
+        assert step_mod.resolve_compiler_options("auto") == expect, backend

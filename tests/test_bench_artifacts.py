@@ -1,0 +1,67 @@
+"""The committed round-2 trace evidence must keep supporting the claims in
+BENCHLOG.md: device-busy time, HBM traffic, and the speed-of-light floor are
+recomputed here from bench_artifacts/hlo_stats_r2.json.gz with the same
+arithmetic as scripts/trace_buckets.py."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+ARTIFACT = os.path.join(
+    os.path.dirname(__file__), "..", "bench_artifacts", "hlo_stats_r2.json.gz"
+)
+STEPS = 6  # 2 warmup + 4 timed steps in the captured run
+HBM_PEAK_GBPS = 820.0
+
+
+@pytest.fixture(scope="module")
+def ops():
+    with gzip.open(ARTIFACT, "rt") as f:
+        d = json.load(f)
+    cols = [c["id"] for c in d["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
+
+    def val(row, col):
+        v = row["c"][idx[col]]
+        return v.get("v") if isinstance(v, dict) else v
+
+    return [
+        {
+            "t_ms": float(val(r, "total_self_time") or 0.0) / 1e3 / STEPS,
+            "bw": float(val(r, "measured_memory_bw") or 0.0),
+            "bound": val(r, "bound_by"),
+            "category": val(r, "category"),
+        }
+        for r in d["rows"]
+    ]
+
+
+def test_device_busy_matches_benchlog(ops):
+    total = sum(o["t_ms"] for o in ops)
+    assert abs(total - 602.8) < 2.0, total  # BENCHLOG: 602.8 ms/step
+
+
+def test_speed_of_light_floor_matches_benchlog(ops):
+    floor = sum(
+        o["t_ms"] * min(o["bw"] / HBM_PEAK_GBPS, 1.0)
+        if (o["bound"] == "HBM" and o["bw"]) else o["t_ms"]
+        for o in ops
+    )
+    assert abs(floor - 536.6) < 2.0, floor  # BENCHLOG: 536.6 ms/step
+    # the floor itself exceeds the 512 ms/step that 4,000 img/s requires:
+    # the v5e cannot reach the (v4-hardware) BASELINE target with this
+    # program's traffic — the basis of BENCHLOG's ceiling claim
+    assert floor > 2048 / 4000 * 1e3
+
+
+def test_hbm_traffic_matches_benchlog(ops):
+    gb = sum(o["t_ms"] * o["bw"] / 1e3 for o in ops if o["bound"] == "HBM")
+    assert abs(gb - 419.6) < 2.0, gb  # BENCHLOG: 419.6 GB/step
+
+
+def test_convs_dominate_and_run_near_peak(ops):
+    conv = sum(o["t_ms"] for o in ops if o["category"] == "convolution fusion")
+    total = sum(o["t_ms"] for o in ops)
+    assert 0.5 < conv / total < 0.7  # BENCHLOG: 60%

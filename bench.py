@@ -1,12 +1,14 @@
 """Benchmark: aug+train images/sec/chip for the RN50 PeCLR pretrain step.
 
 Runs the full jitted step — device-side augmentation (fused warp + color
-jitter), ResNet-50 encoder + projection head in bf16, equivariant NT-Xent,
+jitter), ResNet encoder + projection head in bf16, equivariant NT-Xent,
 LARS/Adam update — on one chip with data resident in HBM (host decode is
 overlapped in production and benchmarked separately).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: 4,000 aug+train images/sec/chip (BASELINE.md north star).
+Baseline: 4,000 aug+train images/sec/chip for the RN50 recipe
+(BASELINE.md north star, set for TPU v4 hardware — see BENCHLOG.md for the
+v5e speed-of-light ceiling analysis).
 """
 
 import json
@@ -33,24 +35,12 @@ def main():
         "jax_compilation_cache_dir",
         os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
     )
-    import jax.numpy as jnp
-    import numpy as np
 
     from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
-    from peclr_tpu.models import PeCLRModel
-    from peclr_tpu.train.optimizer import build_optimizer
-    from peclr_tpu.train.state import TrainState
+    from peclr_tpu.train.recipe import build_pretrain_state, synthetic_pretrain_batch
     from peclr_tpu.train.step import make_peclr_train_step
 
-    model = PeCLRModel(resnet_size=resnet, dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
-    )
-    tx, _ = build_optimizer(
-        variables["params"], base_lr=1e-4, batch_size=batch, accum=accum,
-        steps_per_epoch=1000, epochs=100, warmup_epochs=10, optimizer="LARS",
-    )
-    state = TrainState.create(variables, tx)
+    model, state, tx = build_pretrain_state(resnet=resnet, batch=batch, accum=accum)
 
     flags = peclr_pretrain_flags()
     aug = AugmentationParams()  # 224 canvas -> 128x128 views
@@ -62,23 +52,7 @@ def main():
         donate=True, compiler_options=json.loads(opts) if opts else "auto",
     )
 
-    rng = np.random.default_rng(0)
-    canvas = 224
-    n = batch * accum
-    batch_dict = {
-        "image": jax.device_put(
-            rng.integers(0, 256, size=(n, canvas, canvas, 3), dtype=np.uint8)
-        ),
-        "joints25d": jax.device_put(
-            np.concatenate(
-                [
-                    rng.uniform(60, 160, (n, 21, 2)).astype(np.float32),
-                    rng.normal(size=(n, 21, 1)).astype(np.float32),
-                ],
-                axis=-1,
-            )
-        ),
-    }
+    batch_dict = synthetic_pretrain_batch(batch * accum)
 
     key = jax.random.PRNGKey(0)
     # warmup / compile

@@ -33,6 +33,7 @@ the step key, reproducible across hosts, and seedable per sample.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Dict, Tuple
 
 import jax
@@ -62,8 +63,6 @@ def _warp_window_bounds(src_hw, out_hw, params: AugmentationParams,
     than the raw downscale factor — sizing it from the downscale alone
     silently zeroes rows (caught by tests/test_interp_divergence.py).
     """
-    import math
-
     src_h, src_w = src_hw
     out_h, out_w = out_hw
     down_x = max(float(src_w) / out_w, 1.0)

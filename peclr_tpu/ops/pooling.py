@@ -32,10 +32,11 @@ from jax import lax
 
 
 def _forward(x):
-    b, h, w, c = x.shape
+    # float-only (the backward pads with -inf); the encoder feeds bf16/f32
+    assert jnp.issubdtype(x.dtype, jnp.floating), x.dtype
     return lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        -jnp.inf,
         lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),

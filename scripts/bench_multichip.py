@@ -25,10 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
-from peclr_tpu.models import PeCLRModel
 from peclr_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-from peclr_tpu.train.optimizer import build_optimizer
-from peclr_tpu.train.state import TrainState
+from peclr_tpu.train.recipe import build_pretrain_state, synthetic_pretrain_batch
 from peclr_tpu.train.step import make_peclr_train_step
 
 
@@ -47,42 +45,20 @@ def main():
     global_n = args.batch * args.accum * n
     print(f"mesh: {n} x {jax.devices()[0].platform}, global batch/step {global_n}")
 
-    model = PeCLRModel(resnet_size=args.resnet, dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, args.view, args.view, 3)),
-        train=False,
+    model, state, tx = build_pretrain_state(
+        resnet=args.resnet, batch=args.batch * n, accum=args.accum,
+        view=args.view,
     )
-    tx, _ = build_optimizer(
-        variables["params"], base_lr=1e-4, batch_size=args.batch * n,
-        accum=args.accum, steps_per_epoch=1000, epochs=100,
-    )
-    state = jax.device_put(TrainState.create(variables, tx), replicated(mesh))
+    state = jax.device_put(state, replicated(mesh))
     step = make_peclr_train_step(
         model, tx, peclr_pretrain_flags(),
         AugmentationParams(resize_shape=(args.view, args.view)),
         accum=args.accum, with_stats=False, donate=True,
     )
 
-    rng = np.random.default_rng(0)
-    sh = batch_sharding(mesh)
-    batch = {
-        "image": jax.device_put(
-            rng.integers(0, 256, (global_n, args.canvas, args.canvas, 3),
-                         dtype=np.uint8), sh
-        ),
-        "joints25d": jax.device_put(
-            np.concatenate(
-                [
-                    rng.uniform(
-                0.27 * args.canvas, 0.71 * args.canvas, (global_n, 21, 2)
-            ).astype(np.float32),
-                    rng.normal(size=(global_n, 21, 1)).astype(np.float32),
-                ],
-                axis=-1,
-            ),
-            sh,
-        ),
-    }
+    batch = synthetic_pretrain_batch(
+        global_n, canvas=args.canvas, sharding=batch_sharding(mesh)
+    )
 
     key = jax.random.PRNGKey(0)
     state, m = step(state, batch, key)

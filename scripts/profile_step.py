@@ -22,10 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
-from peclr_tpu.models import PeCLRModel
 from peclr_tpu.ops.augment import augment_pair
-from peclr_tpu.train.optimizer import build_optimizer
-from peclr_tpu.train.state import TrainState
+from peclr_tpu.train.recipe import build_pretrain_state, synthetic_pretrain_batch
 from peclr_tpu.train.step import make_peclr_train_step
 
 
@@ -41,34 +39,10 @@ def chain_time(step, state, batch, key, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def make_batch(n, canvas=224, seed=0):
-    rng = np.random.default_rng(seed)
-    return {
-        "image": jax.device_put(
-            rng.integers(0, 256, size=(n, canvas, canvas, 3), dtype=np.uint8)
-        ),
-        "joints25d": jax.device_put(
-            np.concatenate(
-                [
-                    rng.uniform(60, 160, (n, 21, 2)).astype(np.float32),
-                    rng.normal(size=(n, 21, 1)).astype(np.float32),
-                ],
-                axis=-1,
-            )
-        ),
-    }
-
-
 def build(batch, accum, optimizer="LARS", with_stats=False, flags=None):
-    model = PeCLRModel(resnet_size="50", dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False
+    model, state, tx = build_pretrain_state(
+        batch=batch, accum=accum, optimizer=optimizer
     )
-    tx, _ = build_optimizer(
-        variables["params"], base_lr=1e-4, batch_size=batch, accum=accum,
-        steps_per_epoch=1000, epochs=100, optimizer=optimizer,
-    )
-    state = TrainState.create(variables, tx)
     step = make_peclr_train_step(
         model, tx, flags or peclr_pretrain_flags(), AugmentationParams(),
         accum=accum, with_stats=with_stats, donate=False,
@@ -91,7 +65,7 @@ def main():
     args = ap.parse_args()
 
     n = args.batch * args.accum
-    batch = make_batch(n)
+    batch = synthetic_pretrain_batch(n)
     key = jax.random.PRNGKey(0)
     variants = [("full", {})]
     for name in filter(None, args.ablate.split(",")):

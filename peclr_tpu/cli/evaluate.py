@@ -19,6 +19,9 @@ def build_parser():
     p.add_argument("-seed", type=int, default=5)
     p.add_argument("-crop_size", type=int, default=128)
     p.add_argument("--no_procrustes", action="store_true")
+    p.add_argument("--use_palm", action="store_true",
+                   help="evaluate with the wrist moved to the palm midpoint "
+                        "(labels and procrustes targets, data_set.py:305-314)")
     return p
 
 
@@ -80,6 +83,7 @@ def main(argv=None):
         AugmentationParams(resize_shape=(args.crop_size, args.crop_size)),
         use_procrustes=not args.no_procrustes,
         num_batches=args.num_batches,
+        use_palm=args.use_palm,
     )
     print(json.dumps(results, indent=2))
 

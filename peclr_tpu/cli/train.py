@@ -49,7 +49,8 @@ def build_parser(description: str = "PeCLR pretraining (TPU)"):
     p.add_argument("-experiment_key", type=str, default=None,
                    help="experiment key of a pretrained encoder to restore")
     p.add_argument("-checkpoint", type=str, default="",
-                   help="checkpoint name to restore")
+                   help="checkpoint name to restore (with -experiment_key): "
+                        "'epoch=N.ckpt', 'epoch_N' or 'N'; default latest")
     p.add_argument("-meta_file", type=str, default=None)
     p.add_argument("-experiment_name", type=str, default="")
     p.add_argument("-save_period", type=int, default=1)
@@ -167,6 +168,11 @@ def main(argv=None):
         import os
 
         workdir = os.path.join(SAVED_MODELS_BASE_PATH, args.experiment_key)
+    elif args.checkpoint:
+        raise SystemExit(
+            "-checkpoint needs -experiment_key to locate the run to restore "
+            "(reference restore_model, experiments/utils.py:535-546)"
+        )
     trainer = PeCLRTrainer(
         train_cfg,
         model_cfg,
@@ -180,6 +186,7 @@ def main(argv=None):
         meta_file=args.meta_file,
         tags=args.tag,
         profile_dir=args.profile_dir,
+        restore_checkpoint=args.checkpoint,
     )
     trainer.fit()
 

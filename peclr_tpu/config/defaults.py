@@ -3,8 +3,8 @@
 Mirrors the reference's two JSON config tiers
 (src/experiments/config/training_config.json — data/augmentation — and
 hybrid2_config.json — model/optimizer), re-expressed as plain dataclasses.
-CLI overrides merge on top (config/merge.py), and derived quantities
-(num_samples, steps per epoch) are computed by the training loop.
+CLI overrides merge on top (cli/train.py:configs_from_args), and derived
+quantities (num_samples, steps per epoch) are computed by the training loop.
 """
 
 from __future__ import annotations

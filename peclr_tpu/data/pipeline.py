@@ -37,6 +37,11 @@ def decode_image(path: str) -> np.ndarray:
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            # cv2.imread signals missing/corrupt files by returning None
+            raise FileNotFoundError(
+                f"could not decode image {path!r} (missing or corrupt file)"
+            )
         return img[:, :, ::-1].copy()  # BGR -> RGB
     except ImportError:
         from PIL import Image
@@ -187,10 +192,6 @@ class HostPipeline:
     def _canvas_native(self) -> bool:
         """True when every source serves canvas-sized frames (no per-frame
         standardization needed) — FreiHAND's 224x224 layout."""
-        try:
-            import cv2  # noqa: F401
-        except ImportError:
-            pass
         for src in self.sources:
             probe = getattr(src, "image_size", None)
             if probe != (self.canvas, self.canvas):

@@ -40,11 +40,14 @@ def supervised_sample_batch(
     joints3d = batch["joints3d"]
     scale = batch["scale"]
     joints25d = out.joints
+    joints_raw = batch.get("joints_raw", joints3d)
     if use_palm:
         from peclr_tpu.geometry.camera import move_wrist_to_palm
 
         joints3d = move_wrist_to_palm(joints3d)
         joints25d, scale = convert_to_2_5d(K_new, joints3d)
+        # the procrustes targets move too (data_set.py:313-314)
+        joints_raw = move_wrist_to_palm(joints_raw)
     joints3d_recreated = convert_2_5d_to_3d(joints25d, scale, K_new)
     return {
         "image": normalize_imagenet(out.images),
@@ -54,6 +57,7 @@ def supervised_sample_batch(
         "scale": scale,
         "joints3D_recreated": joints3d_recreated,
         "joints_valid": batch["joints_valid"],
+        "joints_raw": joints_raw,
         "T": out.matrix,
     }
 
@@ -65,10 +69,13 @@ def collect_predictions(
     aug_params: AugmentationParams,
     num_batches: Optional[int] = None,
     seed: int = 0,
+    use_palm: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Run batched inference; returns stacked predictions + ground truth.
 
     predict_25d(images, K) -> (B, 21, 3) 2.5D predictions (jitted outside).
+    With `use_palm`, labels AND the procrustes targets (joints_raw) are
+    palm-moved (data_set.py:305-314).
     """
     n = num_batches or max(len(pipeline) // pipeline.batch_size, 1)
     key = jax.random.PRNGKey(seed)
@@ -76,7 +83,8 @@ def collect_predictions(
     for i, raw_batch in enumerate(pipeline.batches(n, epoch=0)):
         batch = {k: jnp.asarray(v) for k, v in raw_batch.items()}
         sample = supervised_sample_batch(
-            jax.random.fold_in(key, i), batch, flags, aug_params
+            jax.random.fold_in(key, i), batch, flags, aug_params,
+            use_palm=use_palm,
         )
         pred = predict_25d(sample["image"], sample["K"])
         preds.append(np.asarray(pred))
@@ -85,7 +93,7 @@ def collect_predictions(
         gt3d_rec.append(np.asarray(sample["joints3D_recreated"]))
         scales.append(np.asarray(sample["scale"]))
         Ks.append(np.asarray(sample["K"]))
-        raws.append(np.asarray(raw_batch.get("joints_raw", raw_batch["joints3d"])))
+        raws.append(np.asarray(sample["joints_raw"]))
     return {
         "predictions": np.concatenate(preds),
         "ground_truth": np.concatenate(gts),
@@ -105,6 +113,7 @@ def evaluate(
     use_procrustes: bool = True,
     num_batches: Optional[int] = None,
     predict_zroot: Optional[Callable] = None,
+    use_palm: bool = False,
 ) -> Dict[str, float]:
     """EPE/AUC evaluation dict (keys mirror evaluation_utils.evaluate).
 
@@ -114,7 +123,8 @@ def evaluate(
     flags = flags or AugmentationFlags(resize=True, crop=True)
     aug_params = aug_params or AugmentationParams(resize_shape=(128, 128))
     pred = collect_predictions(
-        predict_25d, pipeline, flags, aug_params, num_batches
+        predict_25d, pipeline, flags, aug_params, num_batches,
+        use_palm=use_palm,
     )
     z_root = None
     if predict_zroot is not None:

@@ -176,7 +176,8 @@ class ResNetEncoder(nn.Module):
         x = StemConv(dtype=self.dtype, name="conv1")(x)
         x = _bn(train, "bn1", self.dtype)(x)
         x = nn.relu(x)
-        # custom-vjp pool: XLA's SelectAndScatter backward is TPU-slow
+        # stem pool with selectable backward (ops/pooling.py); the XLA
+        # SelectAndScatter path won the v5e A/B and is the default
         x = max_pool_3x3s2p1(x)
 
         in_features = 64

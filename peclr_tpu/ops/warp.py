@@ -7,9 +7,9 @@ back-projects through the composed affine into the source image and samples
 bilinearly, with zero padding outside (cv2.warpAffine's default border).
 
 This keeps shapes static (variable crop boxes become per-sample affine
-coefficients, not dynamic slices) and lets XLA tile the gather; a Pallas
-variant lives in ops/pallas/warp_kernel.py for when the XLA schedule is the
-bottleneck.
+coefficients, not dynamic slices) and lets XLA tile the gather.  The TPU hot
+path avoids this gather entirely — ops/warp_mxu.py decomposes the warp into
+two MXU matmul passes (see its docstring for the A/B against this kernel).
 """
 
 from __future__ import annotations

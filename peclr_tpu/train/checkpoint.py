@@ -89,6 +89,26 @@ class CheckpointManager:
         self._save_index()
         return True
 
+    def resolve_epoch(self, checkpoint: str) -> int:
+        """Resolve a checkpoint *name* to an epoch number.
+
+        Accepts the reference's PL-style names ('epoch=12.ckpt',
+        models/utils.py:189-206), this repo's layout ('epoch_12') and bare
+        numbers ('12').  Raises FileNotFoundError if that checkpoint does
+        not exist on disk."""
+        epoch = parse_checkpoint_name(checkpoint)
+        if not os.path.exists(self._epoch_dir(epoch)):
+            have = sorted(
+                int(m.group(1))
+                for d in os.listdir(self.directory)
+                if (m := re.fullmatch(r"epoch_(\d+)", d))
+            )
+            raise FileNotFoundError(
+                f"checkpoint {checkpoint!r} (epoch {epoch}) not found under "
+                f"{self.directory}; available epochs: {have}"
+            )
+        return epoch
+
     def latest_epoch(self) -> Optional[int]:
         epochs = [
             int(m.group(1))
@@ -109,6 +129,18 @@ class CheckpointManager:
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(path, state_like)
         return state, epoch
+
+
+def parse_checkpoint_name(checkpoint: str) -> int:
+    """'epoch=12.ckpt' | 'epoch_12' | '12' -> 12 (the reference slices
+    int(name[6:-5]) out of PL names — models/utils.py:203)."""
+    m = re.fullmatch(r"(?:epoch[=_])?(\d+)(?:\.ckpt)?", checkpoint.strip())
+    if not m:
+        raise ValueError(
+            f"unrecognized checkpoint name {checkpoint!r} "
+            "(expected 'epoch=N.ckpt', 'epoch_N' or 'N')"
+        )
+    return int(m.group(1))
 
 
 def save_experiment_key(

@@ -52,6 +52,7 @@ class PeCLRTrainer:
         profile_dir: Optional[str] = None,
         auto_resume: bool = True,
         log_images: bool = True,
+        restore_checkpoint: str = "",
     ):
         self.log_images = log_images
         self.log = get_console_logger("peclr_tpu.train")
@@ -64,6 +65,18 @@ class PeCLRTrainer:
         self.auto_resume = auto_resume
 
         flags = train_cfg.augmentation_flags
+        # use_palm parity (data_set.py:305-314 vs 356-383): the flag reaches
+        # the data config but ONLY supervised samples consume it — hybrid2
+        # contrastive pairs carry no joint labels, so pretraining behavior is
+        # identical either way.  It is recorded in the experiment params so a
+        # downstream finetune/evaluate run can match the convention.
+        self.use_palm = bool(getattr(train_cfg, "use_palm", False))
+        if self.use_palm:
+            get_console_logger("peclr_tpu.train").info(
+                "use_palm is recorded for downstream runs; the hybrid2 "
+                "contrastive objective itself is unaffected (reference "
+                "data_set.py:356-383 never reads it)"
+            )
         self.experiment_name = experiment_name or prepare_name(
             "hybrid2_", train_cfg.batch_size, flags.active()
         )
@@ -154,7 +167,21 @@ class PeCLRTrainer:
             augmentations=augmentations,
         )
         self.start_epoch = 0
-        if auto_resume:
+        if restore_checkpoint:
+            # named restore (reference restore_model/get_latest_checkpoint,
+            # experiments/utils.py:535-561 + models/utils.py:189-206): a
+            # specific checkpoint beats auto-resume-latest, and a missing
+            # name is a loud error, not a silent cold start
+            epoch = self.ckpt.resolve_epoch(restore_checkpoint)
+            restored, epoch = self.ckpt.restore(
+                jax.device_get(self.state), epoch=epoch
+            )
+            self.state = jax.device_put(restored, replicated(self.mesh))
+            self.start_epoch = epoch + 1
+            self.log.info(
+                f"restored checkpoint {restore_checkpoint!r} (epoch {epoch})"
+            )
+        elif auto_resume:
             restored, epoch = self.ckpt.restore(jax.device_get(self.state))
             if restored is not None:
                 self.state = jax.device_put(restored, replicated(self.mesh))
@@ -163,6 +190,13 @@ class PeCLRTrainer:
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None):
+        try:
+            return self._fit(epochs)
+        finally:
+            # release the metrics JSONL fd however fit() exits
+            self.tracker.close()
+
+    def _fit(self, epochs: Optional[int] = None):
         cfg = self.train_cfg
         epochs = epochs if epochs is not None else cfg.epochs
         accum = cfg.accumulate_grad_batches

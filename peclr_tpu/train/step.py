@@ -61,10 +61,14 @@ def jit_with_options(fn, donate_argnums, compiler_options):
     cache = {}
 
     def wrapper(*args):
+        # Cache key covers EVERY leaf: arrays by shape/dtype/sharding,
+        # non-array leaves (Python scalars, None flags) by repr — a static
+        # value change must miss the cache, not silently reuse an executable
+        # lowered for a different value.
         key = tuple(
             (l.shape, str(l.dtype), str(getattr(l, "sharding", None)))
+            if hasattr(l, "shape") else repr(l)
             for l in jax.tree_util.tree_leaves(args)
-            if hasattr(l, "shape")
         )
         compiled = cache.get(key)
         if compiled is None:

@@ -83,11 +83,17 @@ class ExperimentLogger:
             "epoch": epoch,
             **{k: _to_float(v) for k, v in metrics.items()},
         }
+        if self._metrics_f.closed:  # reopened after close() (e.g. re-fit)
+            self._metrics_f = open(
+                os.path.join(self.dir, "metrics.jsonl"), "a"
+            )
         self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
 
     def close(self):
-        self._metrics_f.close()
+        """Idempotent; the logger transparently reopens on a later write."""
+        if not self._metrics_f.closed:
+            self._metrics_f.close()
 
 
 def _to_float(v):

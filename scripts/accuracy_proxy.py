@@ -207,8 +207,18 @@ def main():
             results["peclr"]["probe_epe_px"] / results["simclr"]["probe_epe_px"],
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "a") as fh:
-        fh.write(json.dumps(record) + "\n")
+    # Records are keyed by config: a re-run with the same settings replaces
+    # its previous record instead of appending a duplicate (a short smoke
+    # run can therefore never poison the committed artifact's history).
+    existing = []
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            existing = [json.loads(l) for l in fh if l.strip()]
+    existing = [r for r in existing if r.get("config") != record["config"]]
+    existing.append(record)
+    with open(args.out, "w") as fh:
+        for r in existing:
+            fh.write(json.dumps(r) + "\n")
     print(json.dumps(record))
 
 

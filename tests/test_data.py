@@ -139,3 +139,23 @@ class TestNativeBatchFastPath:
         slow = next(pipe2.batches(1, epoch=0))
         np.testing.assert_array_equal(fast["image"], slow["image"])
         np.testing.assert_allclose(fast["joints25d"], slow["joints25d"], atol=1e-5)
+
+
+class TestDecodeFailure:
+    def test_missing_file_raises_clearly(self, tmp_path):
+        """cv2.imread returns None for missing/corrupt files; decode_image
+        must turn that into a clear FileNotFoundError, not an opaque
+        TypeError from the BGR->RGB slice (VERDICT r2 weakness 5)."""
+        from peclr_tpu.data.pipeline import decode_image
+
+        missing = str(tmp_path / "no_such_file.jpg")
+        with pytest.raises(FileNotFoundError, match="no_such_file"):
+            decode_image(missing)
+
+    def test_corrupt_file_raises_clearly(self, tmp_path):
+        from peclr_tpu.data.pipeline import decode_image
+
+        corrupt = tmp_path / "corrupt.jpg"
+        corrupt.write_bytes(b"\xff\xd8 this is not a real jpeg")
+        with pytest.raises(FileNotFoundError, match="corrupt.jpg"):
+            decode_image(str(corrupt))

@@ -172,6 +172,58 @@ def test_auto_resume(fh_root, small_cfgs, tmp_path, monkeypatch):
     )
 
 
+def test_named_checkpoint_restore(fh_root, small_cfgs, tmp_path, monkeypatch):
+    """-checkpoint restores a SPECIFIC epoch (reference restore_model /
+    get_latest_checkpoint, experiments/utils.py:535-561 +
+    models/utils.py:189-206), beating auto-resume-latest; a missing name
+    fails loudly."""
+    import jax
+    import numpy as np
+    import pytest as pt
+
+    import peclr_tpu.train.loop as loop_mod
+    from peclr_tpu.train.checkpoint import parse_checkpoint_name
+
+    # all three reference-accepted spellings resolve to the same epoch
+    assert parse_checkpoint_name("epoch=7.ckpt") == 7
+    assert parse_checkpoint_name("epoch_7") == 7
+    assert parse_checkpoint_name("7") == 7
+    with pt.raises(ValueError):
+        parse_checkpoint_name("best.ckpt")
+
+    monkeypatch.setattr(loop_mod, "SAVED_META_INFO_PATH", str(tmp_path / "meta"))
+    monkeypatch.setattr(loop_mod, "SAVED_MODELS_BASE_PATH", str(tmp_path / "m"))
+    train_cfg, model_cfg = small_cfgs
+    src = FreihandSource(fh_root, "train", seed=5, train_ratio=0.75)
+    pipe = HostPipeline([src], batch_size=16, canvas=64, seed=5, num_threads=2)
+    work = str(tmp_path / "work")
+
+    t1 = loop_mod.PeCLRTrainer(
+        train_cfg, model_cfg, pipe, workdir=work,
+        experiment_name="named_restore", save_top_k=3, auto_resume=False,
+    )
+    t1.fit(epochs=2)
+    epoch0, _ = t1.ckpt.restore(jax.device_get(t1.state), epoch=0)
+
+    t2 = loop_mod.PeCLRTrainer(
+        train_cfg, model_cfg, pipe, workdir=work,
+        experiment_name="named_restore", save_top_k=3,
+        restore_checkpoint="epoch=0.ckpt",
+    )
+    assert t2.start_epoch == 1  # NOT 2: the named epoch wins over latest
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(
+            t2.state.params["encoder"]["conv1"]["kernel"])),
+        np.asarray(epoch0.params["encoder"]["conv1"]["kernel"]),
+    )
+
+    with pt.raises(FileNotFoundError, match="available epochs"):
+        loop_mod.PeCLRTrainer(
+            train_cfg, model_cfg, pipe, workdir=work,
+            experiment_name="named_restore", restore_checkpoint="epoch=9.ckpt",
+        )
+
+
 def test_stats_gated_on_log_cadence(fh_root, small_cfgs, tmp_path, monkeypatch):
     """Hot path runs WITHOUT projection stats; the stats variant runs only on
     logged steps (epoch cadence -> first step of the epoch).  Guards the

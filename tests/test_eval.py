@@ -61,6 +61,16 @@ class TestSupervisedSample:
         np.testing.assert_allclose(
             np.asarray(sample["joints3D"][:, 0]), np.asarray(palm), atol=1e-6
         )
+        # the procrustes targets move with the labels (data_set.py:313-314)
+        raw_palm = (batch["joints_raw"][:, 0] + batch["joints_raw"][:, 2]) / 2.0
+        np.testing.assert_allclose(
+            np.asarray(sample["joints_raw"][:, 0]), np.asarray(raw_palm),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sample["joints_raw"][:, 1:]),
+            np.asarray(batch["joints_raw"][:, 1:]), atol=1e-6,
+        )
 
 
 class TestMetrics:
@@ -124,6 +134,41 @@ class TestEvaluate:
         assert results["Median_EPE_3D_R_V_3D"] < 5e-3
         assert results["AUC"] > 0.9
         assert "auc_procrustes" in results
+
+    def test_use_palm_procrustes_consistent(self, fh_root):
+        """Under use_palm the procrustes targets (joints_raw) move WITH the
+        labels (data_set.py:305-314): an oracle predictor must stay aligned
+        — before the fix un-moved joints_raw broke the alignment at exactly
+        the wrist joint."""
+        src = FreihandSource(fh_root, "train", train_ratio=0.75)
+        pipe = HostPipeline([src], batch_size=8, canvas=224, num_threads=2)
+        flags = AugmentationFlags(resize=True)
+        aug = AugmentationParams(resize_shape=(128, 128))
+
+        stash = {}
+
+        def oracle(images, K):
+            return stash.pop("joints")
+
+        from peclr_tpu.eval import evaluate as ev
+
+        orig = ev.supervised_sample_batch
+
+        def capturing(key, batch, flags_, params_, use_palm=False):
+            s = orig(key, batch, flags_, params_, use_palm=use_palm)
+            stash["joints"] = s["joints"]
+            return s
+
+        ev.supervised_sample_batch = capturing
+        try:
+            results = evaluate(
+                oracle, pipe, flags, aug, num_batches=2, use_palm=True
+            )
+        finally:
+            ev.supervised_sample_batch = orig
+        assert results["Mean_EPE_2D"] < 1e-3
+        assert results["Mean_EPE_3D_procrustes"] < 5e-2
+        assert results["auc_procrustes"] > 0.9
 
 
 class TestFinetune:

@@ -15,9 +15,17 @@ an oversubscribed host):
       --canvas 64 --view 32 --resnet 18
 
 Pod usage: python scripts/bench_multichip.py [--batch 128] [--accum 4]
+
+Scaling-equality table (--scaling_table): runs the SAME global batch on
+1/2/4/8-device meshes and records the per-mesh losses of two chained steps
+to bench_artifacts/multichip_scaling.json — the committed artifact behind
+tests/test_bench_artifacts.py's loss-equality-across-mesh-sizes assertion
+(global-view NT-Xent: mesh size must not change program semantics).
 """
 
 import argparse
+import json
+import os
 import time
 
 import jax
@@ -30,6 +38,55 @@ from peclr_tpu.train.recipe import build_pretrain_state, synthetic_pretrain_batc
 from peclr_tpu.train.step import make_peclr_train_step
 
 
+def scaling_table(args):
+    """Fixed global batch across mesh sizes; record two chained losses per
+    mesh size (step 2 depends on step 1's full update, so equality is a
+    whole-program statement, not just a loss-reduction one)."""
+    devices = jax.devices()
+    sizes = [int(s) for s in args.mesh_sizes.split(",")]
+    assert max(sizes) <= len(devices), (sizes, len(devices))
+    global_n = args.batch * args.accum  # args.batch = GLOBAL microbatch here
+    rows = []
+    for n in sizes:
+        mesh = make_mesh(devices=devices[:n])
+        model, state, tx = build_pretrain_state(
+            resnet=args.resnet, batch=args.batch, accum=args.accum,
+            view=args.view, dtype=jnp.float32,
+        )
+        state = jax.device_put(state, replicated(mesh))
+        step = make_peclr_train_step(
+            model, tx, peclr_pretrain_flags(),
+            AugmentationParams(resize_shape=(args.view, args.view)),
+            accum=args.accum, with_stats=False, donate=False,
+        )
+        batch = synthetic_pretrain_batch(
+            global_n, canvas=args.canvas, sharding=batch_sharding(mesh)
+        )
+        key = jax.random.PRNGKey(0)
+        state, m1 = step(state, batch, key)
+        state, m2 = step(state, batch, jax.random.fold_in(key, 1))
+        rows.append({
+            "mesh": n,
+            "loss_step1": float(m1["loss"]),
+            "loss_step2": float(m2["loss"]),
+        })
+        print(f"mesh {n}: loss1={rows[-1]['loss_step1']:.6f} "
+              f"loss2={rows[-1]['loss_step2']:.6f}")
+    artifact = {
+        "config": {
+            "global_microbatch": args.batch, "accum": args.accum,
+            "resnet": args.resnet, "canvas": args.canvas, "view": args.view,
+            "platform": devices[0].platform, "mesh_sizes": sizes,
+        },
+        "rows": rows,
+    }
+    out = os.path.join("bench_artifacts", "multichip_scaling.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(f"wrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128, help="per-chip microbatch")
@@ -38,7 +95,15 @@ def main():
     ap.add_argument("--resnet", default="50")
     ap.add_argument("--canvas", type=int, default=224)
     ap.add_argument("--view", type=int, default=128)
+    ap.add_argument("--scaling_table", action="store_true",
+                    help="loss-equality sweep over --mesh_sizes at a fixed "
+                         "global batch (--batch is the GLOBAL microbatch)")
+    ap.add_argument("--mesh_sizes", default="1,2,4,8")
     args = ap.parse_args()
+
+    if args.scaling_table:
+        scaling_table(args)
+        return
 
     mesh = make_mesh()
     n = mesh.devices.size

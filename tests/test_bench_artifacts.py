@@ -65,3 +65,33 @@ def test_convs_dominate_and_run_near_peak(ops):
     conv = sum(o["t_ms"] for o in ops if o["category"] == "convolution fusion")
     total = sum(o["t_ms"] for o in ops)
     assert 0.5 < conv / total < 0.7  # BENCHLOG: 60%
+
+
+class TestMultichipScaling:
+    """Committed mesh-scaling artifact (scripts/bench_multichip.py
+    --scaling_table): the same global batch on 1/2/4/8-device meshes must
+    produce equal losses on two CHAINED steps — mesh size is an execution
+    detail, not a semantics knob (SURVEY §2.3 global-batch NT-Xent)."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "multichip_scaling.json",
+    )
+
+    @pytest.fixture(scope="class")
+    def table(self):
+        if not os.path.exists(self.ARTIFACT):
+            pytest.fail("multichip_scaling.json missing — run "
+                        "scripts/bench_multichip.py --scaling_table")
+        with open(self.ARTIFACT) as f:
+            return json.load(f)
+
+    def test_covers_1_2_4_8(self, table):
+        assert [r["mesh"] for r in table["rows"]] == [1, 2, 4, 8]
+
+    def test_loss_equal_across_mesh_sizes(self, table):
+        rows = table["rows"]
+        for key in ("loss_step1", "loss_step2"):
+            base = rows[0][key]
+            for r in rows[1:]:
+                assert abs(r[key] - base) <= 5e-5 * abs(base), (key, rows)

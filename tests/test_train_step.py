@@ -96,6 +96,69 @@ class TestTrainStep:
         new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_sharded_equals_unsharded_full_step(self, mesh8):
+        """Program-level global-batch guarantee (VERDICT r2 item 4): the
+        COMPLETE train step — augment RNG, BN batch stats, NT-Xent with
+        global negatives, grad mean, LARS update — run 8-way batch-sharded
+        must equal the single-device run on the same global batch and key,
+        up to reduction-order float noise (the reference's single-GPU
+        semantics, models/utils.py:171-186)."""
+        from peclr_tpu.parallel.mesh import replicated, shard_batch
+
+        _, state0, step, batch = tiny_setup(batch=8, accum=2)
+        key = jax.random.PRNGKey(7)
+
+        # two chained steps: warmup lr is 0 at step 1, so only the second
+        # step moves params — the comparison must cover a real update
+        ref_state, _ = step(state0, batch, key)
+        ref_state, ref_metrics = step(
+            ref_state, batch, jax.random.fold_in(key, 1)
+        )
+        ref_loss = float(ref_metrics["loss"])
+
+        sh_state = jax.device_put(state0, replicated(mesh8))
+        sh_batch = shard_batch(mesh8, batch)
+        out_state, _ = step(sh_state, sh_batch, key)
+        out_state, out_metrics = step(
+            out_state, sh_batch, jax.random.fold_in(key, 1)
+        )
+
+        assert float(out_metrics["loss"]) == pytest.approx(ref_loss, rel=1e-5)
+        # Updated params: sharded-vs-unsharded divergence must be a small
+        # fraction of the applied UPDATE (random-init NT-Xent gradients are
+        # ill-conditioned, so f32 reduction-order noise shows up in the
+        # gradient direction — see TestGradAccumSemantics — making
+        # per-element rtol the wrong yardstick).  One leaf is exempt:
+        # projection_head/lin1/bias feeds straight into BatchNorm, so the
+        # loss is EXACTLY invariant to it — its gradient is pure f32
+        # cancellation noise that LARS renormalizes to a full-size update
+        # whose direction legitimately differs per reduction order.
+        paths0 = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(state0.params)
+        )[0]
+        for (kp, p0), a, b in zip(
+            paths0,
+            jax.tree_util.tree_leaves(jax.device_get(ref_state.params)),
+            jax.tree_util.tree_leaves(jax.device_get(out_state.params)),
+        ):
+            keystr = jax.tree_util.keystr(kp)
+            if "projection_head" in keystr and "lin1" in keystr \
+                    and "bias" in keystr:
+                continue
+            update = np.linalg.norm(np.asarray(a) - np.asarray(p0))
+            diverge = np.linalg.norm(np.asarray(a) - np.asarray(b))
+            assert diverge <= 0.05 * update + 1e-7, (
+                keystr, diverge, update
+            )
+        # BN batch stats are plain means/vars (well-conditioned): tight
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(ref_state.batch_stats)),
+            jax.tree_util.tree_leaves(jax.device_get(out_state.batch_stats)),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+
 
 class TestOptimizer:
     def test_no_decay_mask(self):

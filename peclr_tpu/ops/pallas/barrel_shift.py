@@ -1,15 +1,37 @@
 """Pallas fused barrel-shift kernel: per-row fractional shifts in one VMEM
 pass.
 
-The XLA barrel shifter (ops/warp_mxu._shift_rows) runs each of the ~7 fine
-roll stages as a separate HBM round trip.  This kernel keeps an (8, P) row
-block in VMEM through all stages + the fractional lerp, cutting the traffic
-to one read + one write.  Only static rolls, broadcast selects and scalar
-SMEM reads are used — the subset this TPU toolchain's Mosaic compiler
-accepts (traced dynamic slices crash it; see BENCHLOG.md).
+The XLA barrel shifter (ops/warp_mxu._shift_rows) runs each roll stage as a
+separate HBM round trip, and its progressive window shrink materializes
+copies (round-2 trace: ~32 ms/step of roll/select fusions + 53 ms/step of
+copy-done/slice).  This kernel keeps a row block in VMEM through ALL stages
+plus the fractional lerp: one HBM read of the raw rows, one write of the
+lerped window.
 
-Layout contract: rows are processed as a flat (N, P) array (batch/height
-folded into N, channels folded into P or pre-separated by the caller).
+Design notes (why this one is fast where the round-1 kernel was not):
+
+* Roll amounts are SMALL.  The r1 kernel expressed a left-roll by `a` as
+  `pltpu.roll(x, p - a)` — a near-full-width lane rotate for every stage,
+  which Mosaic lowers to its most expensive cross-vreg shuffle.  Here the
+  row content is placed RIGHT-ALIGNED in the padded lane axis and the shift
+  is re-parameterized as t = (elems - k_elems) >= 0, so stage `bit` rolls by
+  exactly 2^bit: amounts >= 128 are whole-vreg renames, amounts < 128 are
+  cheap funnel shifts.
+* Channels fold into lanes.  Rows are (W*C) element vectors (the array's
+  native memory order), shifts scale by C, and the 2-tap lerp uses a +C
+  element offset — no transpose, no per-channel passes.
+* Zero borders come from WRAPAROUND, not padding reads.  P is sized so any
+  out-of-source tap rolls into the zero region; rows whose shift was
+  clamped read all-zeros automatically, so the XLA path's validity mask
+  disappears.
+* Per-row shift/fraction are scalar-prefetch (SMEM) arrays; the only HBM
+  tensor traffic is rows in, window out.
+
+Semantics (matches ops/warp_mxu._shift_rows, which cites the reference's
+per-sample cv2 chain sample_augmenter.py:166-245):
+  out[n, u*C + c] = rows[n, (u + k_n)*C + c] * (1 - f_n)
+                  + rows[n, (u + k_n + 1)*C + c] * f_n
+with zeros outside the source and for clamped rows.
 """
 
 from __future__ import annotations
@@ -21,62 +43,117 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_ROWS = 8
+#: rows per grid step — the largest divisor of N from this list is used.
+#: 128 measured fastest on v5e (fewer grid steps); >128 fails to compile
+#: (the per-row scalar stack exceeds Mosaic's vector concat width).
+BLOCK_ROWS_CHOICES = (128, 64, 32)
+BLOCK_ROWS = 32  # minimum granularity (geometry gate)
 
 
-def _kernel(s_ref, f_ref, x_ref, o_ref, *, num_bits: int, out_w: int):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
+            out_elems: int, c: int, in_elems: int, block_rows: int):
     j = pl.program_id(0)
-    x = x_ref[:]  # (8, P)
-    base = j * BLOCK_ROWS
-    # per-row shift amounts as an (8, 1) vector built from SMEM scalars
-    shifts = jnp.stack(
-        [s_ref[base + r] for r in range(BLOCK_ROWS)]
-    ).reshape(BLOCK_ROWS, 1)
-    fracs = jnp.stack(
-        [f_ref[base + r] for r in range(BLOCK_ROWS)]
-    ).reshape(BLOCK_ROWS, 1)
-    p = x.shape[1]
+    base = j * block_rows
+    t = jnp.stack(
+        [t_ref[base + r] for r in range(block_rows)]
+    ).reshape(block_rows, 1)
+    f = jnp.stack(
+        [f_ref[base + r] for r in range(block_rows)]
+    ).reshape(block_rows, 1)
+
+    x = x_ref[:]  # (BLOCK_ROWS, in_elems)
+    if x.dtype == jnp.uint8:
+        # Mosaic has no direct uint8->float cast; hop through int32
+        x = x.astype(jnp.int32)
+    # Mosaic's lane rotate only supports 32-bit data: the in-VMEM barrel
+    # runs in f32 regardless of the I/O dtype (VMEM traffic, not HBM)
+    x = x.astype(jnp.float32)
+    # right-align the content in the padded width: zeros | rows
+    if p > in_elems:
+        pad = jnp.zeros((block_rows, p - in_elems), x.dtype)
+        x = jnp.concatenate([pad, x], axis=1)
+    # barrel: right-roll by t, one power-of-2 stage per bit (small amounts;
+    # wraparound is load-bearing — out-of-source taps wrap into the zero
+    # margin, and for in-range taps the wrap IS the data path, so the buffer
+    # cannot be shrunk mid-flight without re-deriving the layout)
     for bit in range(num_bits):
         amount = 1 << bit
-        take = ((shifts >> bit) & 1) == 1  # (8, 1) bool
-        # left-roll by `amount` == pltpu.roll (non-negative) by p - amount
-        x = jnp.where(take, pltpu.roll(x, p - amount, axis=1), x)
-    window = x[:, : out_w + 1]
+        take = ((t >> bit) & 1) == 1  # (block_rows, 1) bool
+        x = jnp.where(take, pltpu.roll(x, amount, axis=1), x)
+    window = x[:, : out_elems + c]
     o_ref[:] = (
-        window[:, :-1] * (1.0 - fracs) + window[:, 1:] * fracs
+        window[:, :-c] * (1.0 - f) + window[:, c:] * f
     ).astype(o_ref.dtype)
 
 
-def barrel_shift_rows_pallas(rows, shifts, fracs, out_w: int,
-                             interpret: bool = False):
-    """rows: (N, P) float32/bf16; shifts: (N,) int32 in [0, 2^bits);
-    fracs: (N,) same float dtype.  Returns (N, out_w):
-    out[n, u] = lerp(rows[n, u + s], rows[n, u + s + 1], f).
-
-    Status: compiles and is bit-exact on this TPU toolchain, but the XLA
-    barrel shifter in ops/warp_mxu.py currently schedules better (the Mosaic
-    lane-rotate is slow for large amounts here) — kept as the fused-kernel
-    path for toolchains where it wins, and exercised in interpret mode by
-    the test suite."""
-    n, p = rows.shape
+def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
+                     out_dtype=jnp.bfloat16, interpret: bool = False):
+    """rows: (N, in_elems) uint8/bf16/f32 — flattened (W*C) pixel rows.
+    k: (N,) int32 integer pixel shifts (may be negative); f: (N,) float
+    fractions in [0, 1).  Returns (N, out_elems) out_dtype with
+    out[n, u*C+c] = lerp(rows[n, (u+k)*C+c], rows[n, (u+k+1)*C+c], f[n]),
+    zero outside the source.  N % BLOCK_ROWS == 0, in_elems/out_elems
+    multiples of 128; out_elems/c + 2 taps of headroom are sized into the
+    padded width."""
+    n, in_elems = rows.shape
     assert n % BLOCK_ROWS == 0, n
-    assert p % 128 == 0, p
-    max_shift = p - out_w - 1
-    num_bits = int(max_shift).bit_length()
+    assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
+    block_rows = next(b for b in BLOCK_ROWS_CHOICES if n % b == 0)
+    # clamp exactly like the XLA shifter: k in [-(out_w+2), w]
+    out_w = out_elems // c
+    w_px = in_elems // c
+    k = jnp.clip(k, -(out_w + 2), w_px)
+    # padded width: any tap u + k outside [0, w) must roll into the zero
+    # region [0, p - in_elems): need p >= in_elems + out_elems + 2*c
+    p = _round_up(in_elems + out_elems + 2 * c, 128)
+    # right-roll amount: content sits at [p - in_elems, p); out[u] wants
+    # rows[u + k] i.e. x[u + k + p - in_elems] -> roll right by
+    # t = in_elems - k_elems  (t >= 0 because k <= w_px)
+    t = (in_elems - k * c).astype(jnp.int32)
+    num_bits = int(in_elems + (out_w + 2) * c).bit_length()
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n // BLOCK_ROWS,),
+        grid=(n // block_rows,),
         in_specs=[
-            pl.BlockSpec((BLOCK_ROWS, p), lambda j, s, f: (j, 0),
+            pl.BlockSpec((block_rows, in_elems), lambda j, t_, f_: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_ROWS, out_w), lambda j, s, f: (j, 0),
+        out_specs=pl.BlockSpec((block_rows, out_elems),
+                               lambda j, t_, f_: (j, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(_kernel, num_bits=num_bits, out_w=out_w)
+    kernel = functools.partial(
+        _kernel, num_bits=num_bits, p=p, out_elems=out_elems, c=c,
+        in_elems=in_elems, block_rows=block_rows,
+    )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, out_w), rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, out_elems), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(shifts, fracs.astype(rows.dtype), rows)
+    )(t, f.astype(jnp.float32), rows)
+
+
+def shift_rows_pallas(images, offsets, out_w: int, lerp_dtype=jnp.bfloat16,
+                      interpret: bool = False):
+    """Drop-in twin of ops.warp_mxu._shift_rows on TPU:
+    images (B, H, W, C), offsets (B, H) real -> (B, H, out_w, C) lerp_dtype.
+
+    out_w*C and W*C must be 128-aligned (ops/warp_mxu rounds its window
+    sizes accordingly); B*H must be a multiple of BLOCK_ROWS."""
+    b, h, w, c = images.shape
+    assert (w * c) % 128 == 0 and (out_w * c) % 128 == 0, (w, out_w, c)
+    n = b * h
+    rows = images.reshape(n, w * c)
+    k_true = jnp.floor(offsets)
+    f = (offsets - k_true).reshape(n)
+    k = k_true.reshape(n).astype(jnp.int32)
+    out = fused_shift_lerp(
+        rows, k, f, out_w * c, c, out_dtype=lerp_dtype, interpret=interpret
+    )
+    return out.reshape(b, h, out_w, c)

@@ -30,6 +30,8 @@ time than the gather at TPU matmul rates.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -148,6 +150,54 @@ def _area_matrix(slopes, n_in: int, n_out: int):
     return jnp.where(s > 1.0, area, tent)
 
 
+def _use_pallas_shift() -> bool:
+    """Route the row shifts through the fused Pallas kernel?
+
+    PECLR_SHIFT=pallas forces it, =xla forces the XLA barrel shifter,
+    default (auto) picks Pallas on TPU backends — the fused kernel holds
+    every roll stage in VMEM (one HBM read + one write vs one round trip
+    per stage; see ops/pallas/barrel_shift.py for the measured A/B)."""
+    mode = os.environ.get("PECLR_SHIFT", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _pallas_geometry_ok(b: int, h: int, w: int, c: int, window: int) -> bool:
+    """The kernel wants 128-aligned element rows and full row blocks."""
+    from peclr_tpu.ops.pallas.barrel_shift import BLOCK_ROWS
+
+    return (
+        (b * h) % BLOCK_ROWS == 0
+        and (window * c) % 128 == 0
+    )
+
+
+def _shift_rows_any(images, offsets, window: int, lerp_dtype, use_pallas):
+    """Dispatch one shift pass: fused Pallas kernel when the geometry
+    allows, the XLA barrel shifter otherwise (identical semantics)."""
+    b, h, w, c = images.shape
+    if use_pallas and _pallas_geometry_ok(b, h, w, c, window):
+        from peclr_tpu.ops.pallas.barrel_shift import shift_rows_pallas
+
+        # zero-pad W so rows are 128-aligned in elements; the pad region
+        # reads as out-of-source zeros, preserving border semantics
+        w_aligned = _round_up(w * c, 128) // c
+        if w_aligned * c % 128 != 0:  # c does not divide cleanly
+            return _shift_rows(images, offsets, pad=window - w,
+                               lerp_dtype=lerp_dtype)
+        if w_aligned != w:
+            images = jnp.pad(
+                images, ((0, 0), (0, 0), (0, w_aligned - w), (0, 0))
+            )
+        return shift_rows_pallas(
+            images, offsets, window, lerp_dtype=lerp_dtype
+        )
+    return _shift_rows(images, offsets, pad=window - w, lerp_dtype=lerp_dtype)
+
+
 def _default_compute_dtype():
     """bf16 on TPU (MXU-native, uint8 inputs exact); f32 elsewhere (the CPU
     backend cannot execute bf16 dots)."""
@@ -200,12 +250,22 @@ def affine_warp_mxu(
     # irrelevant — only the position range matters)
     u_size = int(max_scale_x * out_w) + 2
     v_size = int(max_scale_y * out_h) + 2
+    use_pallas = _use_pallas_shift()
+    if use_pallas:
+        # the fused kernel wants 128-aligned element windows; the extra taps
+        # sit past every sampling position and contribute exact zeros
+        u_size = _round_up(u_size * c, 128) // c if (128 % c == 0) else (
+            _round_up(u_size, 128)
+        )
+        v_size = _round_up(v_size * c, 128) // c if (128 % c == 0) else (
+            _round_up(v_size, 128)
+        )
 
     # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
     tap_matrix = _area_matrix if interp == "area" else _tent_matrix
-    shifted = _shift_rows(
-        x, rows_off, pad=u_size - src_w, lerp_dtype=compute_dtype
+    shifted = _shift_rows_any(
+        x, rows_off, u_size, compute_dtype, use_pallas
     )  # (B, H, U, C)
     w1 = tap_matrix(alpha, u_size, out_w).astype(compute_dtype)
     tmp = jnp.einsum(
@@ -215,8 +275,8 @@ def affine_warp_mxu(
     # ---- pass 2: vertical ----------------------------------------------
     cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]
     tmp_t = jnp.swapaxes(tmp, 1, 2)  # (B, out_w, H, C)
-    shifted_v = _shift_rows(
-        tmp_t, cols_off, pad=v_size - src_h, lerp_dtype=compute_dtype
+    shifted_v = _shift_rows_any(
+        tmp_t, cols_off, v_size, compute_dtype, use_pallas
     )  # (B, out_w, V, C)
     w2 = tap_matrix(D, v_size, out_h).astype(compute_dtype)
     out = jnp.einsum(

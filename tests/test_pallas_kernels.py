@@ -1,25 +1,119 @@
 """Pallas kernel tests (interpret mode on the CPU test mesh)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from peclr_tpu.ops.pallas.barrel_shift import barrel_shift_rows_pallas
+from peclr_tpu.ops.pallas.barrel_shift import (
+    BLOCK_ROWS,
+    fused_shift_lerp,
+    shift_rows_pallas,
+)
+from peclr_tpu.ops.warp_mxu import _shift_rows
 
 
-def test_barrel_shift_rows_exact(rng):
-    n, p, out_w = 64, 512, 256
-    rows = jnp.asarray(rng.uniform(0, 255, (n, p)).astype(np.float32))
-    shifts = jnp.asarray(rng.integers(0, p - out_w - 1, (n,)).astype(np.int32))
-    fracs = jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32))
+def test_fused_shift_lerp_exact(rng):
+    """Single-channel rows against a direct numpy oracle, including
+    negative and over-range (clamped) shifts."""
+    n, in_elems, out_elems = 64, 512, 256
+    rows = jnp.asarray(rng.uniform(0, 255, (n, in_elems)).astype(np.float32))
+    k = jnp.asarray(
+        rng.integers(-(out_elems + 10), in_elems + 10, (n,)).astype(np.int32)
+    )
+    f = jnp.asarray(rng.uniform(0, 1, (n,)).astype(np.float32))
     out = np.asarray(
-        barrel_shift_rows_pallas(rows, shifts, fracs, out_w, interpret=True)
+        fused_shift_lerp(rows, k, f, out_elems, c=1,
+                         out_dtype=jnp.float32, interpret=True)
     )
-    r, s, f = np.asarray(rows), np.asarray(shifts), np.asarray(fracs)
-    ref = np.stack(
-        [
-            r[i, s[i]: s[i] + out_w] * (1 - f[i])
-            + r[i, s[i] + 1: s[i] + out_w + 1] * f[i]
-            for i in range(n)
-        ]
+    r = np.asarray(rows)
+    padded = np.pad(r, ((0, 0), (out_elems + 4, out_elems + 4)))
+    kk = np.clip(np.asarray(k), -(out_elems + 2), in_elems)
+    fv = np.asarray(f)
+    ref = np.stack([
+        padded[i, out_elems + 4 + kk[i]: out_elems + 4 + kk[i] + out_elems]
+        * (1 - fv[i])
+        + padded[i, out_elems + 5 + kk[i]: out_elems + 5 + kk[i] + out_elems]
+        * fv[i]
+        for i in range(n)
+    ])
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_shift_rows_pallas_matches_xla_shifter(rng):
+    """The fused kernel must reproduce ops/warp_mxu._shift_rows bit-for-
+    bit semantics (zero borders, clamped-row zeroing, 2-tap lerp) on
+    multi-channel image rows — the exact configuration the warp uses."""
+    b, h, w, c = 4, 16, 40, 3
+    window = 128  # window * c = 384, 128-aligned
+    # pad w so rows are 128-aligned in elements (the integration's step)
+    w_pad = 128  # 128 * 3 = 384 aligned
+    images = rng.uniform(0, 255, (b, h, w, c)).astype(np.float32)
+    images_padded = np.pad(images, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
+    offsets = rng.uniform(-100, 160, (b, h)).astype(np.float32)
+
+    out_pallas = np.asarray(
+        shift_rows_pallas(
+            jnp.asarray(images_padded), jnp.asarray(offsets), window,
+            lerp_dtype=jnp.float32, interpret=True,
+        )
     )
-    np.testing.assert_allclose(out, ref, atol=1e-4)
+    out_xla = np.asarray(
+        _shift_rows(
+            jnp.asarray(images_padded), jnp.asarray(offsets),
+            pad=window - w_pad, lerp_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(out_pallas, out_xla, atol=1e-3)
+
+
+def test_warp_pallas_path_matches_xla_path(rng, monkeypatch):
+    """affine_warp_mxu with PECLR_SHIFT=pallas (interpret-mode kernel) must
+    equal the PECLR_SHIFT=xla result for realistic warp matrices."""
+    import peclr_tpu.ops.pallas.barrel_shift as bs
+    from peclr_tpu.ops import warp_mxu
+
+    # route the kernel through interpret mode on CPU
+    orig = bs.fused_shift_lerp
+
+    def interp_kernel(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(bs, "fused_shift_lerp", interp_kernel)
+
+    b, src, out = 2, 64, 32
+    images = rng.uniform(0, 255, (b, src, src, 3)).astype(np.float32)
+    theta = np.deg2rad(rng.uniform(-40, 40, b)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, b).astype(np.float32)
+    mats = []
+    for i in range(b):
+        c_, s_ = np.cos(theta[i]) * scale[i], np.sin(theta[i]) * scale[i]
+        tx, ty = rng.uniform(-10, 10, 2)
+        mats.append([[c_, -s_, tx], [s_, c_, ty], [0, 0, 1]])
+    mats = np.asarray(mats, np.float32)
+
+    monkeypatch.setenv("PECLR_SHIFT", "xla")
+    ref = np.asarray(warp_mxu.affine_warp_mxu(
+        jnp.asarray(images), jnp.asarray(mats), (out, out),
+        compute_dtype=jnp.float32,
+    ))
+    monkeypatch.setenv("PECLR_SHIFT", "pallas")
+    got = np.asarray(warp_mxu.affine_warp_mxu(
+        jnp.asarray(images), jnp.asarray(mats), (out, out),
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-2)
+
+
+def test_pallas_geometry_fallback(monkeypatch):
+    """Misaligned shapes must silently fall back to the XLA shifter, not
+    crash (e.g. tiny test canvases)."""
+    from peclr_tpu.ops import warp_mxu
+
+    monkeypatch.setenv("PECLR_SHIFT", "pallas")
+    images = jnp.ones((1, 9, 17, 3), jnp.float32)  # 9 rows: not BLOCK_ROWS
+    offsets = jnp.zeros((1, 9), jnp.float32)
+    out = warp_mxu._shift_rows_any(images, offsets, 30, jnp.float32, True)
+    assert out.shape == (1, 9, 30, 3)
+    assert np.isfinite(np.asarray(out)).all()

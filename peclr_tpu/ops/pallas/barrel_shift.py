@@ -55,8 +55,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
-            out_elems: int, c: int, in_elems: int, block_rows: int):
-    j = pl.program_id(0)
+            out_elems: int, c: int, in_elems: int, block_rows: int,
+            grouped: bool = False):
+    if grouped:
+        # 2D grid (G, N/block): all groups share the same per-row scalars
+        # (channel planes of one image row set), keeping SMEM at N, not G*N
+        j = pl.program_id(1)
+    else:
+        j = pl.program_id(0)
     base = j * block_rows
     t = jnp.stack(
         [t_ref[base + r] for r in range(block_rows)]
@@ -65,7 +71,7 @@ def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
         [f_ref[base + r] for r in range(block_rows)]
     ).reshape(block_rows, 1)
 
-    x = x_ref[:]  # (BLOCK_ROWS, in_elems)
+    x = x_ref[0] if grouped else x_ref[:]  # (block_rows, in_elems)
     if x.dtype == jnp.uint8:
         # Mosaic has no direct uint8->float cast; hop through int32
         x = x.astype(jnp.int32)
@@ -85,9 +91,13 @@ def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
         take = ((t >> bit) & 1) == 1  # (block_rows, 1) bool
         x = jnp.where(take, pltpu.roll(x, amount, axis=1), x)
     window = x[:, : out_elems + c]
-    o_ref[:] = (
+    result = (
         window[:, :-c] * (1.0 - f) + window[:, c:] * f
     ).astype(o_ref.dtype)
+    if grouped:
+        o_ref[0] = result
+    else:
+        o_ref[:] = result
 
 
 def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
@@ -137,6 +147,51 @@ def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
         grid_spec=grid_spec,
         interpret=interpret,
     )(t, f.astype(jnp.float32), rows)
+
+
+def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
+                             out_dtype=jnp.bfloat16,
+                             interpret: bool = False):
+    """rows3: (G, N, in_elems) — G planes (e.g. channels) sharing the SAME
+    per-row shifts k/f of length N.  Single-channel semantics (c=1):
+    out[g, n, u] = lerp(rows3[g, n, u + k_n], rows3[g, n, u + k_n + 1], f_n).
+
+    The 2D grid keeps the scalar-prefetch arrays at length N (not G*N),
+    which matters: SMEM is ~1 MB and the recipe's G=3, N=57k already
+    overflows it in the flat formulation."""
+    g, n, in_elems = rows3.shape
+    assert n % BLOCK_ROWS == 0, n
+    assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
+    block_rows = next(b for b in BLOCK_ROWS_CHOICES if n % b == 0)
+    out_w = out_elems
+    w_px = in_elems
+    k = jnp.clip(k, -(out_w + 2), w_px)
+    p = _round_up(in_elems + out_elems + 2, 128)
+    t = (in_elems - k).astype(jnp.int32)
+    num_bits = int(in_elems + out_w + 2).bit_length()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g, n // block_rows),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, in_elems),
+                         lambda gi, j, t_, f_: (gi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, out_elems),
+                               lambda gi, j, t_, f_: (gi, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _kernel, num_bits=num_bits, p=p, out_elems=out_elems, c=1,
+        in_elems=in_elems, block_rows=block_rows, grouped=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, n, out_elems), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(t, f.astype(jnp.float32), rows3)
 
 
 def shift_rows_pallas(images, offsets, out_w: int, lerp_dtype=jnp.bfloat16,

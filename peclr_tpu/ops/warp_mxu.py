@@ -198,6 +198,34 @@ def _shift_rows_any(images, offsets, window: int, lerp_dtype, use_pallas):
     return _shift_rows(images, offsets, pad=window - w, lerp_dtype=lerp_dtype)
 
 
+def _shift_pass_cfirst(xc, offsets, window: int, lerp_dtype):
+    """One shift pass on channel-leading data: xc (C, B, H, W) -> shifted
+    (C, B, H, window).  Rows are single-channel pixel vectors, so the
+    (C*B*H, W) <-> (C, B, H, W) flatten/unflatten only merges LEADING dims
+    — layout-free, unlike the NHWC path whose (W, C)->(W*C) merge retiles
+    (round-3 trace: ~15 ms/step of reshape/copy around the kernel)."""
+    from peclr_tpu.ops.pallas import barrel_shift as bs
+
+    c, b, h, w = xc.shape
+    rows3 = xc.reshape(c, b * h, w)
+    k_true = jnp.floor(offsets)  # (B, H)
+    k = k_true.astype(jnp.int32).reshape(-1)
+    f = (offsets - k_true).reshape(-1)
+    out = bs.fused_shift_lerp_grouped(rows3, k, f, window,
+                                      out_dtype=lerp_dtype)
+    return out.reshape(c, b, h, window)
+
+
+def _pallas_cfirst_ok(b, src_h, out_w, c, u_size, v_size) -> bool:
+    from peclr_tpu.ops.pallas.barrel_shift import BLOCK_ROWS
+
+    return (
+        u_size % 128 == 0 and v_size % 128 == 0
+        and (c * b * src_h) % BLOCK_ROWS == 0
+        and (c * b * out_w) % BLOCK_ROWS == 0
+    )
+
+
 def _default_compute_dtype():
     """bf16 on TPU (MXU-native, uint8 inputs exact); f32 elsewhere (the CPU
     backend cannot execute bf16 dots)."""
@@ -252,36 +280,57 @@ def affine_warp_mxu(
     v_size = int(max_scale_y * out_h) + 2
     use_pallas = _use_pallas_shift()
     if use_pallas:
-        # the fused kernel wants 128-aligned element windows; the extra taps
-        # sit past every sampling position and contribute exact zeros
-        u_size = _round_up(u_size * c, 128) // c if (128 % c == 0) else (
-            _round_up(u_size, 128)
-        )
-        v_size = _round_up(v_size * c, 128) // c if (128 % c == 0) else (
-            _round_up(v_size, 128)
-        )
+        # the fused kernel wants 128-aligned pixel windows (channel-leading
+        # rows are single-channel); the extra taps sit past every sampling
+        # position and contribute exact zeros
+        u_size = _round_up(u_size, 128)
+        v_size = _round_up(v_size, 128)
 
-    # ---- pass 1: horizontal --------------------------------------------
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
-    tap_matrix = _area_matrix if interp == "area" else _tent_matrix
-    shifted = _shift_rows_any(
-        x, rows_off, u_size, compute_dtype, use_pallas
-    )  # (B, H, U, C)
-    w1 = tap_matrix(alpha, u_size, out_w).astype(compute_dtype)
-    tmp = jnp.einsum(
-        "bhuc,bui->bhic", shifted, w1, preferred_element_type=compute_dtype
-    )  # (B, H, out_w, C)
-
-    # ---- pass 2: vertical ----------------------------------------------
     cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]
-    tmp_t = jnp.swapaxes(tmp, 1, 2)  # (B, out_w, H, C)
-    shifted_v = _shift_rows_any(
-        tmp_t, cols_off, v_size, compute_dtype, use_pallas
-    )  # (B, out_w, V, C)
+    tap_matrix = _area_matrix if interp == "area" else _tent_matrix
+    w1 = tap_matrix(alpha, u_size, out_w).astype(compute_dtype)
     w2 = tap_matrix(D, v_size, out_h).astype(compute_dtype)
-    out = jnp.einsum(
-        "bivc,bvj->bjic", shifted_v, w2, preferred_element_type=jnp.float32
-    )  # (B, out_h, out_w, C)
+
+    if use_pallas and _pallas_cfirst_ok(bsz, src_h, out_w, c, u_size, v_size):
+        # ---- channel-leading fused-kernel pipeline ----------------------
+        w_pad = _round_up(src_w, 128)
+        xc = jnp.moveaxis(x, 3, 0)  # (C, B, H, W)
+        if w_pad != src_w:
+            xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 0), (0, w_pad - src_w)))
+        shifted = _shift_pass_cfirst(xc, rows_off, u_size, compute_dtype)
+        tmp = jnp.einsum(
+            "cbhu,bui->cbhi", shifted, w1,
+            preferred_element_type=compute_dtype,
+        )  # (C, B, H, out_w)
+        tmp_t = jnp.swapaxes(tmp, 2, 3)  # (C, B, out_w, H)
+        h_pad = _round_up(src_h, 128)
+        if h_pad != src_h:
+            tmp_t = jnp.pad(
+                tmp_t, ((0, 0), (0, 0), (0, 0), (0, h_pad - src_h))
+            )
+        shifted_v = _shift_pass_cfirst(tmp_t, cols_off, v_size, compute_dtype)
+        out = jnp.einsum(
+            "cbiv,bvj->bjic", shifted_v, w2,
+            preferred_element_type=jnp.float32,
+        )  # (B, out_h, out_w, C)
+    else:
+        # ---- pass 1: horizontal -----------------------------------------
+        shifted = _shift_rows_any(
+            x, rows_off, u_size, compute_dtype, use_pallas
+        )  # (B, H, U, C)
+        tmp = jnp.einsum(
+            "bhuc,bui->bhic", shifted, w1, preferred_element_type=compute_dtype
+        )  # (B, H, out_w, C)
+
+        # ---- pass 2: vertical -------------------------------------------
+        tmp_t = jnp.swapaxes(tmp, 1, 2)  # (B, out_w, H, C)
+        shifted_v = _shift_rows_any(
+            tmp_t, cols_off, v_size, compute_dtype, use_pallas
+        )  # (B, out_w, V, C)
+        out = jnp.einsum(
+            "bivc,bvj->bjic", shifted_v, w2, preferred_element_type=jnp.float32
+        )  # (B, out_h, out_w, C)
 
     # ---- exact border mask from the direct inverse map ------------------
     ys = jnp.arange(out_h, dtype=jnp.float32)

@@ -143,6 +143,36 @@ def make_peclr_train_step(
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
+    #: leaves at or below this many elements ride the scan carry as ONE
+    #: packed vector.  The v5e trace showed ~1,000 tiny copy-start/copy-done
+    #: pairs per step (BN scales/biases/stats + their grads threading the
+    #: lax.scan carry) costing 22.6 ms/step in DMA-latency stalls; packing
+    #: them into a single buffer replaces the swarm with one fused
+    #: concat/slice per microbatch (see BENCHLOG round 3).
+    SMALL_LEAF_ELEMS = 8192
+
+    def _split_small(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        small_idx = [i for i, l in enumerate(leaves)
+                     if l.size <= SMALL_LEAF_ELEMS]
+        big_idx = [i for i, l in enumerate(leaves)
+                   if l.size > SMALL_LEAF_ELEMS]
+        return leaves, treedef, small_idx, big_idx
+
+    def _pack(leaves, idx):
+        if not idx:
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.concatenate([leaves[i].ravel() for i in idx])
+
+    def _unpack(flat, leaves_like, idx):
+        out = list(leaves_like)
+        off = 0
+        for i in idx:
+            n = leaves_like[i].size
+            out[i] = flat[off: off + n].reshape(leaves_like[i].shape)
+            off += n
+        return out
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], key):
         images = batch["image"]
         joints = batch["joints25d"]
@@ -152,25 +182,54 @@ def make_peclr_train_step(
         joints = joints.reshape(accum, mb, *joints.shape[1:])
         keys = jax.random.split(key, accum)
 
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        p_leaves, p_def, p_small, p_big = _split_small(state.params)
+        s_leaves, s_def, s_small, s_big = _split_small(state.batch_stats)
+        big_zero = [jnp.zeros_like(p_leaves[i]) for i in p_big]
+        small_zero = jnp.zeros(
+            (sum(p_leaves[i].size for i in p_small),), jnp.float32
+        ) if p_small else jnp.zeros((0,), jnp.float32)
+        stats_carry0 = (
+            [s_leaves[i] for i in s_big], _pack(s_leaves, s_small)
+        )
 
         def body(carry, xs):
-            grads_acc, loss_acc, batch_stats = carry
+            big_acc, small_acc, loss_acc, (stats_big, stats_flat) = carry
             mb_images, mb_joints, mb_key = xs
+            st_leaves = list(s_leaves)
+            for j, i in enumerate(s_big):
+                st_leaves[i] = stats_big[j]
+            st_leaves = _unpack(stats_flat, st_leaves, s_small)
+            batch_stats = jax.tree_util.tree_unflatten(s_def, st_leaves)
             (loss, (new_stats, stats)), grads = grad_fn(
                 state.params, batch_stats, mb_images, mb_joints, mb_key
             )
-            grads_acc = jax.tree_util.tree_map(
-                lambda a, g: a + g, grads_acc, grads
+            g_leaves = jax.tree_util.tree_flatten(grads)[0]
+            big_acc = [a + g_leaves[i] for a, i in zip(big_acc, p_big)]
+            small_acc = small_acc + _pack(g_leaves, p_small)
+            ns_leaves = jax.tree_util.tree_flatten(new_stats)[0]
+            stats_carry = (
+                [ns_leaves[i] for i in s_big], _pack(ns_leaves, s_small)
             )
-            return (grads_acc, loss_acc + loss, new_stats), stats
+            return (big_acc, small_acc, loss_acc + loss, stats_carry), stats
 
-        (grads, loss_sum, batch_stats), stats_seq = jax.lax.scan(
-            body,
-            (zero_grads, jnp.zeros(()), state.batch_stats),
-            (images, joints, keys),
-            unroll=unroll,
+        (big_acc, small_acc, loss_sum, (stats_big, stats_flat)), stats_seq = (
+            jax.lax.scan(
+                body,
+                (big_zero, small_zero, jnp.zeros(()), stats_carry0),
+                (images, joints, keys),
+                unroll=unroll,
+            )
         )
+        g_leaves = list(p_leaves)
+        for j, i in enumerate(p_big):
+            g_leaves[i] = big_acc[j]
+        g_leaves = _unpack(small_acc, g_leaves, p_small)
+        grads = jax.tree_util.tree_unflatten(p_def, g_leaves)
+        st_leaves = list(s_leaves)
+        for j, i in enumerate(s_big):
+            st_leaves[i] = stats_big[j]
+        st_leaves = _unpack(stats_flat, st_leaves, s_small)
+        batch_stats = jax.tree_util.tree_unflatten(s_def, st_leaves)
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = jax.tree_util.tree_map(

@@ -92,13 +92,20 @@ def render_batch(rng: np.random.Generator, n: int, canvas: int = 128):
 
 
 def pretrain(kind: str, imgs, joints, steps: int, batch: int, seed: int,
-             view: int, resnet: str):
-    """Pretrain one model; returns embeddings fn (params frozen)."""
+             view: int, resnet: str, accum: int = 1, optimizer: str = "adam",
+             lr: float = 5e-5, probe_hook=None, probe_every: int = 0):
+    """Pretrain one model; returns embeddings fn (params frozen).
+
+    With accum/optimizer this scales to the published recipe shape
+    (microbatch 128 x accum 16, LARS — README.md:49-57).  `probe_hook`
+    (if given) is called with (step_index, embed_fn) every `probe_every`
+    steps to record a learning curve."""
     import jax
     import jax.numpy as jnp
 
     from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
     from peclr_tpu.models import PeCLRModel
+    from peclr_tpu.ops import image as im
     from peclr_tpu.train.optimizer import build_optimizer
     from peclr_tpu.train.state import TrainState
     from peclr_tpu.train.step import make_peclr_train_step
@@ -110,43 +117,52 @@ def pretrain(kind: str, imgs, joints, steps: int, batch: int, seed: int,
     variables = model.init(
         jax.random.PRNGKey(seed), jnp.zeros((1, view, view, 3)), train=False
     )
+    # steps_per_epoch counts DATA iterations (microbatches); the loop below
+    # runs `steps` optimizer updates of `accum` microbatches each
     tx, _ = build_optimizer(
-        variables["params"], base_lr=5e-5, batch_size=batch, accum=1,
-        steps_per_epoch=steps, epochs=1, warmup_epochs=0, optimizer="adam",
+        variables["params"], base_lr=lr, batch_size=batch, accum=accum,
+        steps_per_epoch=steps * accum, epochs=1,
+        warmup_epochs=0.05 if optimizer == "LARS" else 0,
+        optimizer=optimizer,
     )
     state = TrainState.create(variables, tx)
     # the ONLY difference between the two runs: SimCLR applies no inverse
     # transforms in projection space (cli/train.py simclr experiment type)
     augmentations = () if kind == "simclr" else ("crop", "rotate")
     step = make_peclr_train_step(
-        model, tx, flags, aug, accum=1, augmentations=augmentations,
+        model, tx, flags, aug, accum=accum, augmentations=augmentations,
         with_stats=False, donate=False,
     )
+
+    def make_embed(st):
+        @jax.jit
+        def embed(images_u8):
+            x = im.normalize_imagenet(images_u8.astype(jnp.float32) / 255.0)
+            out = model.apply(
+                {"params": st.params, "batch_stats": st.batch_stats},
+                x, train=False,
+            )
+            return out["embedding"]
+
+        return embed
+
     key = jax.random.PRNGKey(seed)
     n = imgs.shape[0]
+    per_step = batch * accum
     losses = []
     t0 = time.time()
     for i in range(steps):
-        idx = np.random.default_rng(1000 * seed + i).integers(0, n, batch)
+        idx = np.random.default_rng(1000 * seed + i).integers(0, n, per_step)
         bd = {"image": jnp.asarray(imgs[idx]),
               "joints25d": jnp.asarray(joints[idx])}
         state, m = step(state, bd, jax.random.fold_in(key, i))
         losses.append(float(m["loss"]))
+        if probe_hook and probe_every and (i + 1) % probe_every == 0:
+            probe_hook(i + 1, make_embed(state))
     print(f"  {kind}: loss {losses[0]:.4f} -> {np.mean(losses[-10:]):.4f} "
           f"({time.time() - t0:.0f}s)")
 
-    from peclr_tpu.ops import image as im
-
-    @jax.jit
-    def embed(images_u8):
-        x = im.normalize_imagenet(images_u8.astype(jnp.float32) / 255.0)
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False,
-        )
-        return out["embedding"]
-
-    return embed, losses
+    return make_embed(state), losses, state
 
 
 def linear_probe(embed, imgs, joints, view: int, train_n: int, seed: int):
@@ -180,6 +196,13 @@ def main():
     ap.add_argument("--view", type=int, default=64)
     ap.add_argument("--resnet", default="18")
     ap.add_argument("--seed", type=int, default=5)
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "LARS"])
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--probe-every", type=int, default=0,
+                    help="record a probe-EPE learning curve every N steps")
+    ap.add_argument("--curve-out", default=None,
+                    help="JSON path for the learning-curve artifact")
     ap.add_argument("--out", default="tests/fixtures/accuracy_proxy.jsonl")
     args = ap.parse_args()
 
@@ -188,16 +211,46 @@ def main():
     print(f"synthetic set: {imgs.shape}, probe train {args.probe_train}")
 
     results = {}
+    curves = {}
     for kind in ("peclr", "simclr"):
-        embed, losses = pretrain(
+        curve = []
+
+        def probe_hook(step_i, embed_fn, kind=kind, curve=curve):
+            e = linear_probe(embed_fn, imgs, joints, args.view,
+                             args.probe_train, args.seed)
+            curve.append({"step": step_i, "probe_epe_px": e})
+            print(f"  {kind} @ {step_i}: probe EPE {e:.2f} px")
+
+        embed, losses, _state = pretrain(
             kind, imgs, joints, args.steps, args.batch, args.seed,
-            args.view, args.resnet,
+            args.view, args.resnet, accum=args.accum,
+            optimizer=args.optimizer, lr=args.lr,
+            probe_hook=probe_hook, probe_every=args.probe_every,
         )
         epe = linear_probe(embed, imgs, joints, args.view,
                            args.probe_train, args.seed)
+        curve.append({"step": args.steps, "probe_epe_px": epe})
         results[kind] = {"probe_epe_px": epe, "final_loss":
                          float(np.mean(losses[-10:]))}
+        stride = max(len(losses) // 200, 1)
+        curves[kind] = {
+            "probe": curve,
+            "loss_steps": list(range(0, len(losses), stride)),
+            "loss": [float(np.mean(losses[max(0, i - stride + 1): i + 1]))
+                     for i in range(0, len(losses), stride)],
+        }
         print(f"  {kind}: probe EPE {epe:.2f} px")
+
+    if args.curve_out:
+        os.makedirs(os.path.dirname(args.curve_out) or ".", exist_ok=True)
+        with open(args.curve_out, "w") as fh:
+            json.dump({
+                "config": {k: v for k, v in vars(args).items()
+                           if k not in ("out", "curve_out")},
+                "backend": __import__("jax").default_backend(),
+                "curves": curves,
+            }, fh, indent=1)
+        print(f"wrote {args.curve_out}")
 
     record = {
         "config": {k: v for k, v in vars(args).items() if k != "out"},

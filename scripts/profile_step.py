@@ -39,9 +39,10 @@ def chain_time(step, state, batch, key, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def build(batch, accum, optimizer="LARS", with_stats=False, flags=None):
+def build(batch, accum, optimizer="LARS", with_stats=False, flags=None,
+          resnet="50"):
     model, state, tx = build_pretrain_state(
-        batch=batch, accum=accum, optimizer=optimizer
+        batch=batch, accum=accum, optimizer=optimizer, resnet=resnet,
     )
     step = make_peclr_train_step(
         model, tx, flags or peclr_pretrain_flags(), AugmentationParams(),
@@ -62,6 +63,8 @@ def main():
         "augonly (augment_pair alone, output-chained)",
     )
     ap.add_argument("--trace", default=None, help="xplane trace dir")
+    ap.add_argument("--resnet", default="50",
+                    help="encoder size for the full/adam/stats variants")
     args = ap.parse_args()
 
     n = args.batch * args.accum
@@ -107,7 +110,8 @@ def main():
             jax.block_until_ready(v1)
             dt = (time.perf_counter() - t0) / args.iters
         else:
-            state, step = build(args.batch, args.accum, **overrides)
+            state, step = build(args.batch, args.accum, resnet=args.resnet,
+                                **overrides)
             if args.trace and name == "full":
                 with jax.profiler.trace(args.trace):
                     dt = chain_time(step, state, batch, key, args.iters)

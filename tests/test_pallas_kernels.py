@@ -40,6 +40,27 @@ def test_fused_shift_lerp_exact(rng):
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
+def test_grouped_matches_flat(rng):
+    """The grouped (shared-scalar, 2D-grid) kernel must equal the flat one
+    on replicated planes — it exists only to keep SMEM at N, not G*N."""
+    from peclr_tpu.ops.pallas.barrel_shift import fused_shift_lerp_grouped
+
+    g, n, in_elems, out_elems = 3, 64, 256, 128
+    rows = rng.uniform(0, 255, (g, n, in_elems)).astype(np.float32)
+    k = rng.integers(-(out_elems + 5), in_elems + 5, (n,)).astype(np.int32)
+    f = rng.uniform(0, 1, (n,)).astype(np.float32)
+    grouped = np.asarray(fused_shift_lerp_grouped(
+        jnp.asarray(rows), jnp.asarray(k), jnp.asarray(f), out_elems,
+        out_dtype=jnp.float32, interpret=True,
+    ))
+    for gi in range(g):
+        flat = np.asarray(fused_shift_lerp(
+            jnp.asarray(rows[gi]), jnp.asarray(k), jnp.asarray(f),
+            out_elems, c=1, out_dtype=jnp.float32, interpret=True,
+        ))
+        np.testing.assert_allclose(grouped[gi], flat, atol=1e-4)
+
+
 def test_shift_rows_pallas_matches_xla_shifter(rng):
     """The fused kernel must reproduce ops/warp_mxu._shift_rows bit-for-
     bit semantics (zero borders, clamped-row zeroing, 2-tap lerp) on
@@ -73,14 +94,15 @@ def test_warp_pallas_path_matches_xla_path(rng, monkeypatch):
     import peclr_tpu.ops.pallas.barrel_shift as bs
     from peclr_tpu.ops import warp_mxu
 
-    # route the kernel through interpret mode on CPU
-    orig = bs.fused_shift_lerp
+    # route the kernels through interpret mode on CPU
+    for name in ("fused_shift_lerp", "fused_shift_lerp_grouped"):
+        orig = getattr(bs, name)
 
-    def interp_kernel(*args, **kwargs):
-        kwargs["interpret"] = True
-        return orig(*args, **kwargs)
+        def interp_kernel(*args, orig=orig, **kwargs):
+            kwargs["interpret"] = True
+            return orig(*args, **kwargs)
 
-    monkeypatch.setattr(bs, "fused_shift_lerp", interp_kernel)
+        monkeypatch.setattr(bs, name, interp_kernel)
 
     b, src, out = 2, 64, 32
     images = rng.uniform(0, 255, (b, src, src, 3)).astype(np.float32)

@@ -95,3 +95,59 @@ class TestMultichipScaling:
             base = rows[0][key]
             for r in rows[1:]:
                 assert abs(r[key] - base) <= 5e-5 * abs(base), (key, rows)
+
+
+class TestRound3Trace:
+    """Round-3 trace artifact (Pallas shifter + packed carry) must keep
+    supporting BENCHLOG's round-3 claims: device busy 544.9 ms/step and a
+    486 ms/step floor (4,214 img/s) — the numbers behind '89% of floor'."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "hlo_stats_r3.json.gz",
+    )
+    STEPS = 10
+
+    @pytest.fixture(scope="class")
+    def ops3(self):
+        with gzip.open(self.ARTIFACT, "rt") as f:
+            d = json.load(f)
+        cols = [c["id"] for c in d["cols"]]
+        idx = {c: i for i, c in enumerate(cols)}
+
+        def val(row, col):
+            v = row["c"][idx[col]]
+            return v.get("v") if isinstance(v, dict) else v
+
+        return [
+            {
+                "t_ms": float(val(r, "total_self_time") or 0.0) / 1e3
+                / self.STEPS,
+                "bw": float(val(r, "measured_memory_bw") or 0.0),
+                "bound": val(r, "bound_by"),
+                "category": val(r, "category"),
+            }
+            for r in d["rows"]
+        ]
+
+    def test_device_busy(self, ops3):
+        total = sum(o["t_ms"] for o in ops3)
+        assert abs(total - 544.9) < 2.0, total
+
+    def test_floor_allows_baseline_target(self, ops3):
+        floor = sum(
+            o["t_ms"] * min(o["bw"] / HBM_PEAK_GBPS, 1.0)
+            if (o["bound"] == "HBM" and o["bw"]) else o["t_ms"]
+            for o in ops3
+        )
+        assert abs(floor - 486.0) < 2.0, floor
+        # unlike round 2, the floor is now BELOW the 512 ms/step that the
+        # 4,000 img/s BASELINE target requires: the program's ceiling on
+        # this v5e clears the target
+        assert floor < 2048 / 4000 * 1e3
+
+    def test_shift_selects_gone(self, ops3):
+        """The XLA barrel's roll/select loop fusions (~147 ms/step in r2)
+        must stay collapsed: loop fusion total < 80 ms/step now."""
+        loop = sum(o["t_ms"] for o in ops3 if o["category"] == "loop fusion")
+        assert loop < 80.0, loop

@@ -88,11 +88,27 @@ def main():
     # -- host-only rate (decode+collate, no device consumer) ---------------
     t0 = time.perf_counter()
     n_host = 0
+    host_batch = None
     for batch in pipe.batches(args.steps, epoch=0):
         n_host += len(batch["image"])
+        host_batch = batch
     host_rate = n_host / (time.perf_counter() - t0)
+    cores = os.cpu_count() or 1
+    host_per_core = host_rate / min(args.threads, cores)
     print(f"host-only:   {host_rate:.0f} img/s "
-          f"({host_rate / args.threads:.0f} per thread)")
+          f"({host_per_core:.0f} per core, {cores} cores)")
+
+    # -- host->device transfer rate (the tunnel/PCIe link) ------------------
+    t0 = time.perf_counter()
+    for _ in range(max(args.steps // 2, 2)):
+        moved = jax.device_put(host_batch)
+        jax.block_until_ready(moved)
+    xfer_rate = global_batch * max(args.steps // 2, 2) / (
+        time.perf_counter() - t0
+    )
+    batch_mb = sum(v.nbytes for v in host_batch.values()) / 1e6
+    print(f"transfer:    {xfer_rate:.0f} img/s "
+          f"({xfer_rate / global_batch * batch_mb:.0f} MB/s link)")
 
     # -- sustained overlapped pipeline (state was donated above; rebuild) --
     model, s, tx = build_pretrain_state(
@@ -116,18 +132,22 @@ def main():
     jax.block_until_ready(m["loss"])
     sus_rate = n_sus / (time.perf_counter() - t0)
 
-    bound = min(host_rate, dev_rate)
+    rates = {"host": host_rate, "device": dev_rate, "transfer": xfer_rate}
+    bound_by = min(rates, key=rates.get)
     result = {
         "device_only_img_s": round(dev_rate, 1),
         "host_only_img_s": round(host_rate, 1),
-        "host_per_thread_img_s": round(host_rate / args.threads, 1),
+        "host_per_core_img_s": round(host_per_core, 1),
+        "transfer_img_s": round(xfer_rate, 1),
+        "transfer_mb_s": round(xfer_rate / global_batch * batch_mb, 1),
         "sustained_img_s": round(sus_rate, 1),
-        "overlap_efficiency": round(sus_rate / bound, 3),
-        "bound_by": "host" if host_rate < dev_rate else "device",
-        "host_threads_needed_for_device_rate": round(
-            dev_rate / (host_rate / args.threads), 1
+        "overlap_efficiency": round(sus_rate / min(rates.values()), 3),
+        "bound_by": bound_by,
+        "host_cores_needed_for_device_rate": round(
+            dev_rate / host_per_core, 1
         ),
         "native_loader": native_loader.available(),
+        "cpu_cores": cores,
         "config": {k: v for k, v in vars(args).items() if k != "out"},
     }
     print(json.dumps(result, indent=1))

@@ -149,16 +149,25 @@ def pretrain(kind: str, imgs, joints, steps: int, batch: int, seed: int,
     key = jax.random.PRNGKey(seed)
     n = imgs.shape[0]
     per_step = batch * accum
+    # keep the pool device-resident and gather per-step indices on device:
+    # re-shipping the full global batch every step would bottleneck on the
+    # host->device link (measured 57 MB/s on this tunnel rig —
+    # bench_artifacts/host_pipeline.json), not on training
+    imgs_d = jnp.asarray(imgs)
+    joints_d = jnp.asarray(joints)
     losses = []
     t0 = time.time()
     for i in range(steps):
-        idx = np.random.default_rng(1000 * seed + i).integers(0, n, per_step)
-        bd = {"image": jnp.asarray(imgs[idx]),
-              "joints25d": jnp.asarray(joints[idx])}
+        idx = jnp.asarray(
+            np.random.default_rng(1000 * seed + i).integers(0, n, per_step)
+        )
+        bd = {"image": jnp.take(imgs_d, idx, axis=0),
+              "joints25d": jnp.take(joints_d, idx, axis=0)}
         state, m = step(state, bd, jax.random.fold_in(key, i))
-        losses.append(float(m["loss"]))
+        losses.append(m["loss"])  # device scalar; fetched in bulk below
         if probe_hook and probe_every and (i + 1) % probe_every == 0:
             probe_hook(i + 1, make_embed(state))
+    losses = [float(l) for l in jax.device_get(losses)]
     print(f"  {kind}: loss {losses[0]:.4f} -> {np.mean(losses[-10:]):.4f} "
           f"({time.time() - t0:.0f}s)")
 

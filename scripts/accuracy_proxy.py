@@ -157,6 +157,8 @@ def pretrain(kind: str, imgs, joints, steps: int, batch: int, seed: int,
     joints_d = jnp.asarray(joints)
     losses = []
     t0 = time.time()
+    if probe_hook and probe_every:
+        probe_hook(0, make_embed(state))  # random-init baseline for the curve
     for i in range(steps):
         idx = jnp.asarray(
             np.random.default_rng(1000 * seed + i).integers(0, n, per_step)
@@ -236,9 +238,12 @@ def main():
             optimizer=args.optimizer, lr=args.lr,
             probe_hook=probe_hook, probe_every=args.probe_every,
         )
-        epe = linear_probe(embed, imgs, joints, args.view,
-                           args.probe_train, args.seed)
-        curve.append({"step": args.steps, "probe_epe_px": epe})
+        if curve and curve[-1]["step"] == args.steps:
+            epe = curve[-1]["probe_epe_px"]  # already probed at the last step
+        else:
+            epe = linear_probe(embed, imgs, joints, args.view,
+                               args.probe_train, args.seed)
+            curve.append({"step": args.steps, "probe_epe_px": epe})
         results[kind] = {"probe_epe_px": epe, "final_loss":
                          float(np.mean(losses[-10:]))}
         stride = max(len(losses) // 200, 1)

@@ -8,6 +8,8 @@ Usage:
   python scripts/profile_step.py --batch 256 --accum 1
   python scripts/profile_step.py --ablate noaug,adam,stats,augonly
   python scripts/profile_step.py --trace /tmp/xplane  # jax.profiler trace
+  python scripts/profile_step.py --phase finetune     # RN25D 224^2 step
+  python scripts/profile_step.py --phase pred         # two-pass inference
 
 Measurement rule (CLAUDE.md): on the tunneled TPU backend only
 data-dependent chains report true device time, so every variant chains
@@ -21,9 +23,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from peclr_tpu.config.defaults import AugmentationParams, peclr_pretrain_flags
+from peclr_tpu.config.defaults import (
+    AugmentationFlags,
+    AugmentationParams,
+    peclr_pretrain_flags,
+)
 from peclr_tpu.ops.augment import augment_pair
-from peclr_tpu.train.recipe import build_pretrain_state, synthetic_pretrain_batch
+from peclr_tpu.train.recipe import (
+    build_pretrain_state,
+    synthetic_pretrain_batch,
+    synthetic_supervised_batch,
+)
 from peclr_tpu.train.step import make_peclr_train_step
 
 
@@ -51,8 +61,83 @@ def build(batch, accum, optimizer="LARS", with_stats=False, flags=None,
     return state, step
 
 
+def run_finetune(args):
+    """Supervised RN25D fine-tune step (224x224, bf16 — the published
+    fine-tune/eval resolution, README.md:102-122) with the same chained
+    measurement + optional trace as the pretrain phase."""
+    from peclr_tpu.models import RN25DPose
+    from peclr_tpu.train.finetune import make_finetune_step
+    from peclr_tpu.train.optimizer import build_optimizer
+    from peclr_tpu.train.state import TrainState
+
+    crop = 224
+    model = RN25DPose(size=args.resnet, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, crop, crop, 3)), train=False
+    )
+    tx, _ = build_optimizer(
+        variables["params"], base_lr=1e-4, batch_size=args.batch, accum=1,
+        steps_per_epoch=1000, epochs=100, optimizer="adam",
+    )
+    state = TrainState.create(variables, tx)
+    flags = AugmentationFlags(crop=True, resize=True)
+    step = make_finetune_step(
+        model, tx, flags, AugmentationParams(resize_shape=(crop, crop)),
+        donate=False,
+    )
+    batch = synthetic_supervised_batch(args.batch)
+    key = jax.random.PRNGKey(0)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            dt = chain_time(step, state, batch, key, args.iters)
+        print(f"xplane trace -> {args.trace}")
+    else:
+        dt = chain_time(step, state, batch, key, args.iters)
+    print(f"finetune {dt * 1e3:8.2f} ms/step   {args.batch / dt:8.0f} img/s")
+
+
+def run_pred(args):
+    """Two-pass leaderboard predictor (eval/pred_fh.py), output->input
+    chained (the kp3d feeds a zero-valued perturbation of the next input so
+    dispatches cannot overlap — CLAUDE.md tunnel measurement rule)."""
+    from peclr_tpu.eval.pred_fh import make_two_pass_predictor
+    from peclr_tpu.models import RN25DPose
+
+    model = RN25DPose(size=args.resnet, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    predict = make_two_pass_predictor(model, variables)
+    batch = synthetic_supervised_batch(args.batch)
+    imgs, K = batch["image"], jnp.asarray(batch["K"])
+
+    def chained(imgs, n):
+        for i in range(n):
+            kp3d = predict(imgs, K)
+            nz = (jnp.abs(kp3d).sum() * 1e-12).astype(jnp.uint8)
+            imgs = imgs + nz  # data dependency; adds exactly 0
+        return imgs
+
+    out = chained(imgs, 2)  # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            out = chained(out, args.iters)
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"xplane trace -> {args.trace}")
+    else:
+        out = chained(out, args.iters)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+    print(f"pred     {dt * 1e3:8.2f} ms/step   {args.batch / dt:8.0f} img/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="pretrain",
+                    choices=["pretrain", "finetune", "pred"])
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--accum", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
@@ -66,6 +151,11 @@ def main():
     ap.add_argument("--resnet", default="50",
                     help="encoder size for the full/adam/stats variants")
     args = ap.parse_args()
+
+    if args.phase == "finetune":
+        return run_finetune(args)
+    if args.phase == "pred":
+        return run_pred(args)
 
     n = args.batch * args.accum
     batch = synthetic_pretrain_batch(n)

@@ -1,0 +1,74 @@
+"""CI assertions on the recipe-shape accuracy learning curves.
+
+scripts/accuracy_proxy.py --probe-every N --curve-out ... records, for
+PeCLR and SimCLR pretraining at the published recipe shape (microbatch 128
+x accum 16, LARS, 128px views — reference README.md:49-57), a frozen-encoder
+linear-probe EPE curve starting from the shared random-init baseline.
+
+These artifacts are the strongest in-environment accuracy-parity evidence
+(VERDICT r2 item 2): the curves must show that contrastive pretraining at
+the recipe shape makes hand pose monotonically more linearly decodable, on
+both published backbones (RN50 and RN152).  The PeCLR-vs-SimCLR ordering
+claim itself lives in the 64px probe regime (tests/test_accuracy_proxy.py);
+at recipe shape the two land within probe noise and the curve SHAPE is the
+regression target.
+"""
+
+import json
+import os
+
+import pytest
+
+_DIR = os.path.join(os.path.dirname(__file__), "..", "bench_artifacts")
+BACKBONES = ["rn50", "rn152"]
+
+
+def _load(name):
+    path = os.path.join(_DIR, f"accuracy_curves_{name}.json")
+    if not os.path.exists(path):
+        pytest.fail(f"{path} missing — run scripts/accuracy_proxy.py "
+                    "--probe-every 80 --curve-out ... (see BENCHLOG)")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("name", BACKBONES)
+def test_recipe_shape_config(name):
+    d = _load(name)
+    cfg = d["config"]
+    assert cfg["batch"] == 128 and cfg["accum"] == 16
+    assert cfg["optimizer"] == "LARS" and cfg["view"] == 128
+    assert cfg["resnet"] == name.removeprefix("rn")
+    for kind in ("peclr", "simclr"):
+        assert len(d["curves"][kind]["probe"]) >= 5
+
+
+@pytest.mark.parametrize("name", BACKBONES)
+@pytest.mark.parametrize("kind", ["peclr", "simclr"])
+def test_probe_epe_improves_monotonically(name, kind):
+    d = _load(name)
+    probe = d["curves"][kind]["probe"]
+    epes = [p["probe_epe_px"] for p in probe]
+    # pretraining must beat the step-0 random-init probe baseline decisively
+    assert epes[-1] < 0.75 * epes[0], (name, kind, epes)
+    # and the curve must be monotone up to 3% probe noise per point
+    for prev, cur in zip(epes, epes[1:]):
+        assert cur < prev * 1.03, (name, kind, epes)
+
+
+@pytest.mark.parametrize("name", BACKBONES)
+def test_shared_random_init_baseline(name):
+    d = _load(name)
+    p0 = d["curves"]["peclr"]["probe"][0]
+    s0 = d["curves"]["simclr"]["probe"][0]
+    assert p0["step"] == s0["step"] == 0
+    # same seed => identical random-init encoder => identical baseline probe
+    assert abs(p0["probe_epe_px"] - s0["probe_epe_px"]) < 1e-6
+
+
+@pytest.mark.parametrize("name", BACKBONES)
+@pytest.mark.parametrize("kind", ["peclr", "simclr"])
+def test_contrastive_loss_decreases(name, kind):
+    d = _load(name)
+    loss = d["curves"][kind]["loss"]
+    assert loss[-1] < loss[0] - 0.5, (name, kind, loss[0], loss[-1])

@@ -24,8 +24,12 @@ Design notes (why this one is fast where the round-1 kernel was not):
   out-of-source tap rolls into the zero region; rows whose shift was
   clamped read all-zeros automatically, so the XLA path's validity mask
   disappears.
-* Per-row shift/fraction are scalar-prefetch (SMEM) arrays; the only HBM
-  tensor traffic is rows in, window out.
+* Per-row shift/fraction ride in as (N, 1) VMEM vectors, NOT scalar
+  prefetch: they only drive `jnp.where` data selection (never an index
+  map), and the SMEM formulation needed a per-grid-step stack of
+  block_rows scalar loads + vector inserts — measured 2.7x slower than
+  the vector operand (BENCHLOG round 3) and it capped blocks at 128 rows
+  (Mosaic's vector concat width).
 
 Semantics (matches ops/warp_mxu._shift_rows, which cites the reference's
 per-sample cv2 chain sample_augmenter.py:166-245):
@@ -44,9 +48,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 #: rows per grid step — the largest divisor of N from this list is used.
-#: 128 measured fastest on v5e (fewer grid steps); >128 fails to compile
-#: (the per-row scalar stack exceeds Mosaic's vector concat width).
-BLOCK_ROWS_CHOICES = (128, 64, 32)
+#: 256 measured fastest on v5e with VMEM shift vectors (the old SMEM
+#: scalar-stack formulation failed to compile past 128 rows).
+BLOCK_ROWS_CHOICES = (256, 128, 64, 32)
 BLOCK_ROWS = 32  # minimum granularity (geometry gate)
 
 
@@ -57,19 +61,8 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
             out_elems: int, c: int, in_elems: int, block_rows: int,
             grouped: bool = False):
-    if grouped:
-        # 2D grid (G, N/block): all groups share the same per-row scalars
-        # (channel planes of one image row set), keeping SMEM at N, not G*N
-        j = pl.program_id(1)
-    else:
-        j = pl.program_id(0)
-    base = j * block_rows
-    t = jnp.stack(
-        [t_ref[base + r] for r in range(block_rows)]
-    ).reshape(block_rows, 1)
-    f = jnp.stack(
-        [f_ref[base + r] for r in range(block_rows)]
-    ).reshape(block_rows, 1)
+    t = t_ref[...]  # (block_rows, 1) int32
+    f = f_ref[...]  # (block_rows, 1) f32
 
     x = x_ref[0] if grouped else x_ref[:]  # (block_rows, in_elems)
     if x.dtype == jnp.uint8:
@@ -126,15 +119,18 @@ def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
     t = (in_elems - k * c).astype(jnp.int32)
     num_bits = int(in_elems + (out_w + 2) * c).bit_length()
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    grid_spec = pl.GridSpec(
         grid=(n // block_rows,),
         in_specs=[
-            pl.BlockSpec((block_rows, in_elems), lambda j, t_, f_: (j, 0),
+            pl.BlockSpec((block_rows, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, in_elems), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, out_elems),
-                               lambda j, t_, f_: (j, 0),
+                               lambda j: (j, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(
@@ -146,7 +142,7 @@ def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
         out_shape=jax.ShapeDtypeStruct((n, out_elems), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(t, f.astype(jnp.float32), rows)
+    )(t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1), rows)
 
 
 def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
@@ -156,9 +152,8 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     per-row shifts k/f of length N.  Single-channel semantics (c=1):
     out[g, n, u] = lerp(rows3[g, n, u + k_n], rows3[g, n, u + k_n + 1], f_n).
 
-    The 2D grid keeps the scalar-prefetch arrays at length N (not G*N),
-    which matters: SMEM is ~1 MB and the recipe's G=3, N=57k already
-    overflows it in the flat formulation."""
+    The 2D grid keeps the per-row shift vectors at length N (not G*N): all
+    channel planes of one row set share a single (N, 1) VMEM operand."""
     g, n, in_elems = rows3.shape
     assert n % BLOCK_ROWS == 0, n
     assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
@@ -170,16 +165,19 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     t = (in_elems - k).astype(jnp.int32)
     num_bits = int(in_elems + out_w + 2).bit_length()
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    grid_spec = pl.GridSpec(
         grid=(g, n // block_rows),
         in_specs=[
+            pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows, in_elems),
-                         lambda gi, j, t_, f_: (gi, j, 0),
+                         lambda gi, j: (gi, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_rows, out_elems),
-                               lambda gi, j, t_, f_: (gi, j, 0),
+                               lambda gi, j: (gi, j, 0),
                                memory_space=pltpu.VMEM),
     )
     kernel = functools.partial(
@@ -191,7 +189,7 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
         out_shape=jax.ShapeDtypeStruct((g, n, out_elems), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(t, f.astype(jnp.float32), rows3)
+    )(t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1), rows3)
 
 
 def shift_rows_pallas(images, offsets, out_w: int, lerp_dtype=jnp.bfloat16,

@@ -192,6 +192,98 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     )(t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1), rows3)
 
 
+def _matmul_kernel(t_ref, f_ref, x_ref, w_ref, o_ref, *, num_bits: int,
+                   p: int, out_elems: int, in_elems: int, rows: int):
+    t = t_ref[...]  # (rows, 1) int32
+    f = f_ref[...]  # (rows, 1) f32
+    x = x_ref[0, 0]  # (rows, in_elems)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.int32)  # Mosaic: no direct uint8->float cast
+    x = x.astype(jnp.float32)
+    if p > in_elems:
+        pad = jnp.zeros((rows, p - in_elems), x.dtype)
+        x = jnp.concatenate([pad, x], axis=1)
+    for bit in range(num_bits):
+        amount = 1 << bit
+        take = ((t >> bit) & 1) == 1
+        x = jnp.where(take, pltpu.roll(x, amount, axis=1), x)
+    window = x[:, : out_elems + 1]
+    lerped = window[:, :-1] * (1.0 - f) + window[:, 1:] * f  # (rows, out)
+    w = w_ref[0]  # (m, out_elems) — tap matrix pre-transposed by the caller
+    acc = jax.lax.dot_general(
+        w, lerped.astype(w.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),  # NT: contract u
+        preferred_element_type=jnp.float32,
+    )  # (m, rows) — MXU
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+def fused_shift_lerp_matmul(rows4, k, f, w_t, out_dtype=jnp.float32,
+                            interpret: bool = False):
+    """Fused shift + lerp + per-image tap matmul: one warp PASS per call.
+
+    rows4: (G, B, R, in_elems) uint8/bf16/f32 — G channel planes of B
+      images, R single-channel rows each (pass 1: R = padded H; pass 2:
+      R = out_w).
+    k/f: (B*R,) int32 / float row shifts+fractions (R-major per image).
+    w_t: (B, M, out_elems) — the banded tap matrix, TRANSPOSED (taps along
+      the minor axis) so the in-kernel matmul is the NT dgemm Mosaic
+      lowers natively.
+
+    Returns (G, B, M, R) out_dtype:
+      out[g, b, m, r] = sum_u lerp_window[g, b, r, u] * w_t[b, m, u]
+
+    vs fused_shift_lerp_grouped + einsum, this keeps the lerped window in
+    VMEM and feeds the MXU directly: the (G, B, R, out) window intermediate
+    never exists in HBM (~4 GB/step at recipe shape), and the output comes
+    out already transposed for the next pass (the inter-pass swapaxes
+    disappears).  Block = one (channel, image) plane, so the tap matrix
+    block is per-image shared, reused across the G inner grid steps.
+
+    MEASURED (v5e, RN50 recipe): 3,750 img/s vs 3,784 for grouped+einsum —
+    the in-kernel dot serializes with the barrel inside each block while
+    XLA overlaps the standalone einsum with neighboring HLO, and pass 1
+    pays 14% extra shift rows for the h-pad sentinels.  Off by default;
+    enable with PECLR_SHIFT_FUSE=matmul (BENCHLOG round 3).
+    """
+    g, b, r, in_elems = rows4.shape
+    _, m, out_elems = w_t.shape
+    assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
+    assert m % 8 == 0 and r % 8 == 0, (m, r)
+    assert k.shape == (b * r,) and f.shape == (b * r,), (k.shape, b, r)
+    k = jnp.clip(k, -(out_elems + 2), in_elems)
+    p = _round_up(in_elems + out_elems + 2, 128)
+    t = (in_elems - k).astype(jnp.int32)
+    num_bits = int(in_elems + out_elems + 2).bit_length()
+
+    grid_spec = pl.GridSpec(
+        grid=(b, g),  # b outer: the w_t block is revisited across g
+        in_specs=[
+            pl.BlockSpec((r, 1), lambda bi, gi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1), lambda bi, gi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, in_elems), lambda bi, gi: (gi, bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, out_elems), lambda bi, gi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, m, r), lambda bi, gi: (gi, bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _matmul_kernel, num_bits=num_bits, p=p, out_elems=out_elems,
+        in_elems=in_elems, rows=r,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, b, m, r), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(t.reshape(b * r, 1), f.astype(jnp.float32).reshape(b * r, 1), rows4,
+      w_t)
+
+
 def shift_rows_pallas(images, offsets, out_w: int, lerp_dtype=jnp.bfloat16,
                       interpret: bool = False):
     """Drop-in twin of ops.warp_mxu._shift_rows on TPU:

@@ -126,21 +126,32 @@ def _shift_rows(images, offsets, pad: int, lerp_dtype=None):
     return jnp.where(valid_row[..., None, None], out, jnp.asarray(0.0, dtype))
 
 
-def _tent_matrix(slopes, n_in: int, n_out: int):
+def _tap_iotas(n_in: int, n_out: int, transposed: bool):
+    """Broadcast iotas for the banded tap matrices: (B, n_in, n_out) in
+    standard form, (B, n_out, n_in) when transposed (taps minor — the
+    layout the fused Pallas matmul kernel's NT dgemm wants)."""
+    if transposed:
+        i = jnp.arange(n_out, dtype=jnp.float32)[None, :, None]
+        u = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
+    else:
+        i = jnp.arange(n_out, dtype=jnp.float32)[None, None, :]
+        u = jnp.arange(n_in, dtype=jnp.float32)[None, :, None]
+    return i, u
+
+
+def _tent_matrix(slopes, n_in: int, n_out: int, transposed: bool = False):
     """(B, n_in, n_out) banded bilinear-tap matrix:
     M[b, u, i] = max(0, 1 − |slope_b·i − u|)."""
-    i = jnp.arange(n_out, dtype=jnp.float32)[None, None, :]
-    u = jnp.arange(n_in, dtype=jnp.float32)[None, :, None]
+    i, u = _tap_iotas(n_in, n_out, transposed)
     pos = slopes[:, None, None] * i
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos - u))
 
 
-def _area_matrix(slopes, n_in: int, n_out: int):
+def _area_matrix(slopes, n_in: int, n_out: int, transposed: bool = False):
     """(B, n_in, n_out) box-filter (cv2 INTER_AREA) matrix for downscaling:
     output pixel i averages source [s·i, s·(i+1)); falls back to the tent
     taps per image when s <= 1 (cv2's INTER_AREA == bilinear on upscale)."""
-    i = jnp.arange(n_out, dtype=jnp.float32)[None, None, :]
-    u = jnp.arange(n_in, dtype=jnp.float32)[None, :, None]
+    i, u = _tap_iotas(n_in, n_out, transposed)
     s = slopes[:, None, None]
     overlap = jnp.clip(
         jnp.minimum(s * (i + 1.0), u + 1.0) - jnp.maximum(s * i, u), 0.0, 1.0
@@ -226,6 +237,21 @@ def _pallas_cfirst_ok(b, src_h, out_w, c, u_size, v_size) -> bool:
     )
 
 
+def _pallas_matmul_ok(h_pad, w_pad, out_hw, u_size, v_size) -> bool:
+    """Geometry gate for the fused shift+lerp+matmul kernel (both passes).
+
+    Pass 1: rows4 (C,B,h_pad,w_pad), window u_size, taps (B,out_w,u_size);
+    pass 2 consumes pass 1's (C,B,out_w,h_pad) output directly, so h_pad
+    is pass 2's in_elems and must itself be 128-aligned."""
+    out_h, out_w = out_hw
+    return (
+        w_pad % 128 == 0 and h_pad % 128 == 0
+        and u_size % 128 == 0 and v_size % 128 == 0
+        and out_w % 8 == 0 and out_h % 8 == 0
+        and h_pad <= 512 and out_w <= 512
+    )
+
+
 def _default_compute_dtype():
     """bf16 on TPU (MXU-native, uint8 inputs exact); f32 elsewhere (the CPU
     backend cannot execute bf16 dots)."""
@@ -292,7 +318,47 @@ def affine_warp_mxu(
     w1 = tap_matrix(alpha, u_size, out_w).astype(compute_dtype)
     w2 = tap_matrix(D, v_size, out_h).astype(compute_dtype)
 
-    if use_pallas and _pallas_cfirst_ok(bsz, src_h, out_w, c, u_size, v_size):
+    h_pad = _round_up(src_h, 128)
+    w_pad = _round_up(src_w, 128)
+    fuse_matmul = os.environ.get("PECLR_SHIFT_FUSE", "grouped") == "matmul"
+    if (use_pallas and fuse_matmul
+            and _pallas_matmul_ok(h_pad, w_pad, out_hw, u_size, v_size)):
+        # ---- fused shift+lerp+matmul pipeline (one kernel per pass) -----
+        # Measured SLOWER than grouped kernels + XLA einsum on v5e (3,750
+        # vs 3,784 img/s recipe): the in-kernel dot serializes with the
+        # barrel on the VPU/MXU while XLA overlaps the separate einsum, and
+        # the sentinel h-pad rows add 14% shift work.  Kept behind
+        # PECLR_SHIFT_FUSE=matmul (BENCHLOG round 3).
+        from peclr_tpu.ops.pallas.barrel_shift import fused_shift_lerp_matmul
+
+        xc = jnp.moveaxis(x, 3, 0)  # (C, B, H, W)
+        xc = jnp.pad(
+            xc,
+            ((0, 0), (0, 0), (0, h_pad - src_h), (0, w_pad - src_w)),
+        )
+        # padded rows get the clamp sentinel (k = w_pad -> all-zero window,
+        # f = 0), so pass 2's taps into h >= src_h read exact zeros
+        off1 = jnp.pad(
+            rows_off, ((0, 0), (0, h_pad - src_h)),
+            constant_values=float(w_pad),
+        )
+        k1 = jnp.floor(off1)
+        f1 = (off1 - k1).reshape(-1)
+        w1_t = tap_matrix(alpha, u_size, out_w, transposed=True)
+        tmp = fused_shift_lerp_matmul(
+            xc, k1.reshape(-1).astype(jnp.int32), f1,
+            w1_t.astype(compute_dtype), out_dtype=compute_dtype,
+        )  # (C, B, out_w, h_pad) — already transposed for pass 2
+        k2 = jnp.floor(cols_off)
+        f2 = (cols_off - k2).reshape(-1)
+        w2_t = tap_matrix(D, v_size, out_h, transposed=True)
+        out_cf = fused_shift_lerp_matmul(
+            tmp, k2.reshape(-1).astype(jnp.int32), f2,
+            w2_t.astype(compute_dtype), out_dtype=jnp.float32,
+        )  # (C, B, out_h, out_w)
+        out = jnp.moveaxis(out_cf, 0, -1)  # (B, out_h, out_w, C)
+    elif use_pallas and _pallas_cfirst_ok(bsz, src_h, out_w, c, u_size,
+                                          v_size):
         # ---- channel-leading fused-kernel pipeline ----------------------
         w_pad = _round_up(src_w, 128)
         xc = jnp.moveaxis(x, 3, 0)  # (C, B, H, W)

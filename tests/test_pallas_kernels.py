@@ -61,6 +61,34 @@ def test_grouped_matches_flat(rng):
         np.testing.assert_allclose(grouped[gi], flat, atol=1e-4)
 
 
+def test_matmul_kernel_matches_grouped_plus_einsum(rng):
+    """fused_shift_lerp_matmul == fused_shift_lerp_grouped followed by the
+    banded-tap einsum (the fusion must be a pure refactor of the math)."""
+    from peclr_tpu.ops.pallas.barrel_shift import (
+        fused_shift_lerp_grouped,
+        fused_shift_lerp_matmul,
+    )
+
+    g, b, r, in_elems, out_elems, m = 3, 2, 16, 256, 128, 8
+    rows4 = rng.uniform(0, 255, (g, b, r, in_elems)).astype(np.float32)
+    k = rng.integers(-(out_elems + 5), in_elems + 5, (b * r,)).astype(
+        np.int32
+    )
+    f = rng.uniform(0, 1, (b * r,)).astype(np.float32)
+    w_t = rng.uniform(-1, 1, (b, m, out_elems)).astype(np.float32)
+
+    fused = np.asarray(fused_shift_lerp_matmul(
+        jnp.asarray(rows4), jnp.asarray(k), jnp.asarray(f),
+        jnp.asarray(w_t), out_dtype=jnp.float32, interpret=True,
+    ))
+    window = np.asarray(fused_shift_lerp_grouped(
+        jnp.asarray(rows4.reshape(g, b * r, in_elems)), jnp.asarray(k),
+        jnp.asarray(f), out_elems, out_dtype=jnp.float32, interpret=True,
+    )).reshape(g, b, r, out_elems)
+    ref = np.einsum("gbru,bmu->gbmr", window, w_t)
+    np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-2)
+
+
 def test_shift_rows_pallas_matches_xla_shifter(rng):
     """The fused kernel must reproduce ops/warp_mxu._shift_rows bit-for-
     bit semantics (zero borders, clamped-row zeroing, 2-tap lerp) on
@@ -95,7 +123,8 @@ def test_warp_pallas_path_matches_xla_path(rng, monkeypatch):
     from peclr_tpu.ops import warp_mxu
 
     # route the kernels through interpret mode on CPU
-    for name in ("fused_shift_lerp", "fused_shift_lerp_grouped"):
+    for name in ("fused_shift_lerp", "fused_shift_lerp_grouped",
+                 "fused_shift_lerp_matmul"):
         orig = getattr(bs, name)
 
         def interp_kernel(*args, orig=orig, **kwargs):
@@ -121,11 +150,13 @@ def test_warp_pallas_path_matches_xla_path(rng, monkeypatch):
         compute_dtype=jnp.float32,
     ))
     monkeypatch.setenv("PECLR_SHIFT", "pallas")
-    got = np.asarray(warp_mxu.affine_warp_mxu(
-        jnp.asarray(images), jnp.asarray(mats), (out, out),
-        compute_dtype=jnp.float32,
-    ))
-    np.testing.assert_allclose(got, ref, atol=1e-2)
+    for fuse in ("grouped", "matmul"):
+        monkeypatch.setenv("PECLR_SHIFT_FUSE", fuse)
+        got = np.asarray(warp_mxu.affine_warp_mxu(
+            jnp.asarray(images), jnp.asarray(mats), (out, out),
+            compute_dtype=jnp.float32,
+        ))
+        np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=fuse)
 
 
 def test_pallas_geometry_fallback(monkeypatch):

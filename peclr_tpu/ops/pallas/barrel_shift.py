@@ -58,6 +58,42 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _lane_roll(x, amount: int):
+    """Right-roll along lanes.  Mosaic's native lane rotate is 32-bit-only;
+    packed dtypes (uint8/bf16) express the roll as a static slice pair +
+    concat, which keeps the barrel in the narrow dtype — 4x (uint8) / 2x
+    (bf16) less VPU work per stage than promoting to f32 first."""
+    if x.dtype.itemsize >= 4:
+        return pltpu.roll(x, amount, axis=1)
+    return jnp.concatenate([x[:, -amount:], x[:, :-amount]], axis=1)
+
+
+def _barrel(x, t, *, p: int, num_bits: int):
+    """Per-row right-roll by t via a power-of-2 barrel, in x's dtype.
+    x: (rows, in_elems) right-aligned into a p-wide zero-padded buffer;
+    wraparound is load-bearing — out-of-source taps wrap into the zero
+    margin, and for in-range taps the wrap IS the data path, so the buffer
+    cannot be shrunk mid-flight without re-deriving the layout."""
+    rows, in_elems = x.shape
+    if p > in_elems:
+        pad = jnp.zeros((rows, p - in_elems), x.dtype)
+        x = jnp.concatenate([pad, x], axis=1)
+    for bit in range(num_bits):
+        amount = 1 << bit
+        take = ((t >> bit) & 1) == 1  # (rows, 1) bool
+        x = jnp.where(take, _lane_roll(x, amount), x)
+    return x
+
+
+def _window_f32(x, n: int):
+    """First n lanes of the rolled buffer, promoted to f32 for the lerp
+    (uint8 hops through int32 — Mosaic has no direct uint8->float cast)."""
+    window = x[:, :n]
+    if window.dtype == jnp.uint8:
+        window = window.astype(jnp.int32)
+    return window.astype(jnp.float32)
+
+
 def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
             out_elems: int, c: int, in_elems: int, block_rows: int,
             grouped: bool = False):
@@ -65,25 +101,8 @@ def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
     f = f_ref[...]  # (block_rows, 1) f32
 
     x = x_ref[0] if grouped else x_ref[:]  # (block_rows, in_elems)
-    if x.dtype == jnp.uint8:
-        # Mosaic has no direct uint8->float cast; hop through int32
-        x = x.astype(jnp.int32)
-    # Mosaic's lane rotate only supports 32-bit data: the in-VMEM barrel
-    # runs in f32 regardless of the I/O dtype (VMEM traffic, not HBM)
-    x = x.astype(jnp.float32)
-    # right-align the content in the padded width: zeros | rows
-    if p > in_elems:
-        pad = jnp.zeros((block_rows, p - in_elems), x.dtype)
-        x = jnp.concatenate([pad, x], axis=1)
-    # barrel: right-roll by t, one power-of-2 stage per bit (small amounts;
-    # wraparound is load-bearing — out-of-source taps wrap into the zero
-    # margin, and for in-range taps the wrap IS the data path, so the buffer
-    # cannot be shrunk mid-flight without re-deriving the layout)
-    for bit in range(num_bits):
-        amount = 1 << bit
-        take = ((t >> bit) & 1) == 1  # (block_rows, 1) bool
-        x = jnp.where(take, pltpu.roll(x, amount, axis=1), x)
-    window = x[:, : out_elems + c]
+    x = _barrel(x, t, p=p, num_bits=num_bits)
+    window = _window_f32(x, out_elems + c)
     result = (
         window[:, :-c] * (1.0 - f) + window[:, c:] * f
     ).astype(o_ref.dtype)
@@ -193,21 +212,12 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
 
 
 def _matmul_kernel(t_ref, f_ref, x_ref, w_ref, o_ref, *, num_bits: int,
-                   p: int, out_elems: int, in_elems: int, rows: int):
+                   p: int, out_elems: int, in_elems: int):
     t = t_ref[...]  # (rows, 1) int32
     f = f_ref[...]  # (rows, 1) f32
     x = x_ref[0, 0]  # (rows, in_elems)
-    if x.dtype == jnp.uint8:
-        x = x.astype(jnp.int32)  # Mosaic: no direct uint8->float cast
-    x = x.astype(jnp.float32)
-    if p > in_elems:
-        pad = jnp.zeros((rows, p - in_elems), x.dtype)
-        x = jnp.concatenate([pad, x], axis=1)
-    for bit in range(num_bits):
-        amount = 1 << bit
-        take = ((t >> bit) & 1) == 1
-        x = jnp.where(take, pltpu.roll(x, amount, axis=1), x)
-    window = x[:, : out_elems + 1]
+    x = _barrel(x, t, p=p, num_bits=num_bits)
+    window = _window_f32(x, out_elems + 1)
     lerped = window[:, :-1] * (1.0 - f) + window[:, 1:] * f  # (rows, out)
     w = w_ref[0]  # (m, out_elems) — tap matrix pre-transposed by the caller
     acc = jax.lax.dot_general(
@@ -273,7 +283,7 @@ def fused_shift_lerp_matmul(rows4, k, f, w_t, out_dtype=jnp.float32,
     )
     kernel = functools.partial(
         _matmul_kernel, num_bits=num_bits, p=p, out_elems=out_elems,
-        in_elems=in_elems, rows=r,
+        in_elems=in_elems,
     )
     return pl.pallas_call(
         kernel,

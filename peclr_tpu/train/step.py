@@ -35,11 +35,15 @@ from peclr_tpu.train.state import TrainState
 
 #: XLA options applied to the train step on TPU backends.  The latency-hiding
 #: scheduler measured 3357 -> 3367 img/s on the RN50 PeCLR recipe (v5e,
-#: BENCHLOG.md round 2) — small but consistently the best config; scoped-vmem
-#: raises HURT (-10/-18%) and are not used.  The axon tunnel rejects TPU
-#: flags in XLA_FLAGS but honors per-compile options, so they are applied
-#: via AOT lower/compile.
-DEFAULT_TPU_COMPILER_OPTIONS = {"xla_tpu_enable_latency_hiding_scheduler": True}
+#: BENCHLOG.md round 2) — small but consistently the best config — and
+#: letting it budget 100% of shared memory measured 3894 -> 3904 (round 3);
+#: scoped-vmem raises HURT (-10/-18%) and are not used.  The axon tunnel
+#: rejects TPU flags in XLA_FLAGS but honors per-compile options, so they
+#: are applied via AOT lower/compile.
+DEFAULT_TPU_COMPILER_OPTIONS = {
+    "xla_tpu_enable_latency_hiding_scheduler": True,
+    "xla_tpu_scheduler_percent_shared_memory_limit": 100,
+}
 
 
 def resolve_compiler_options(compiler_options):

@@ -112,6 +112,19 @@ def _kernel(t_ref, f_ref, x_ref, o_ref, *, num_bits: int, p: int,
         o_ref[:] = result
 
 
+def _kernel_raw(t_ref, x_ref, o_ref, *, num_bits: int, p: int,
+                out_elems: int):
+    """Barrel-only variant: emits the rolled window UNLERPED in the input
+    dtype.  The caller applies the 2-tap fractional lerp in XLA, where it
+    fuses into the banded-tap einsum's input chain (lerp-then-matmul ==
+    matmul-then-lerp by linearity) — the kernel sheds the int32/f32
+    conversion and the lerp vector ops, and a uint8 source writes a uint8
+    window (quarter the HBM traffic of the bf16 lerped output)."""
+    t = t_ref[...]  # (block_rows, 1) int32
+    x = _barrel(x_ref[0], t, p=p, num_bits=num_bits)
+    o_ref[0] = x[:, :out_elems]
+
+
 def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
                      out_dtype=jnp.bfloat16, interpret: bool = False):
     """rows: (N, in_elems) uint8/bf16/f32 — flattened (W*C) pixel rows.
@@ -166,13 +179,19 @@ def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
 
 def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
                              out_dtype=jnp.bfloat16,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             lerp: bool = True):
     """rows3: (G, N, in_elems) — G planes (e.g. channels) sharing the SAME
     per-row shifts k/f of length N.  Single-channel semantics (c=1):
     out[g, n, u] = lerp(rows3[g, n, u + k_n], rows3[g, n, u + k_n + 1], f_n).
 
     The 2D grid keeps the per-row shift vectors at length N (not G*N): all
-    channel planes of one row set share a single (N, 1) VMEM operand."""
+    channel planes of one row set share a single (N, 1) VMEM operand.
+
+    lerp=False runs the barrel-only kernel: returns the UNLERPED integer-
+    shifted window in rows3's own dtype (f is ignored, may be None); the
+    caller owns the fractional 2-tap lerp.  out[g, n, u] = rows3[g, n, u+k_n]
+    with zeros outside the source."""
     g, n, in_elems = rows3.shape
     assert n % BLOCK_ROWS == 0, n
     assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
@@ -184,13 +203,15 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     t = (in_elems - k).astype(jnp.int32)
     num_bits = int(in_elems + out_w + 2).bit_length()
 
+    tf_specs = [
+        pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     grid_spec = pl.GridSpec(
         grid=(g, n // block_rows),
-        in_specs=[
-            pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=(tf_specs if lerp else tf_specs[:1]) + [
             pl.BlockSpec((1, block_rows, in_elems),
                          lambda gi, j: (gi, j, 0),
                          memory_space=pltpu.VMEM),
@@ -199,16 +220,25 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
                                lambda gi, j: (gi, j, 0),
                                memory_space=pltpu.VMEM),
     )
-    kernel = functools.partial(
-        _kernel, num_bits=num_bits, p=p, out_elems=out_elems, c=1,
-        in_elems=in_elems, block_rows=block_rows, grouped=True,
-    )
+    if lerp:
+        kernel = functools.partial(
+            _kernel, num_bits=num_bits, p=p, out_elems=out_elems, c=1,
+            in_elems=in_elems, block_rows=block_rows, grouped=True,
+        )
+        operands = (t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1),
+                    rows3)
+    else:
+        kernel = functools.partial(
+            _kernel_raw, num_bits=num_bits, p=p, out_elems=out_elems,
+        )
+        out_dtype = rows3.dtype
+        operands = (t.reshape(n, 1), rows3)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((g, n, out_elems), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1), rows3)
+    )(*operands)
 
 
 def _matmul_kernel(t_ref, f_ref, x_ref, w_ref, o_ref, *, num_bits: int,

@@ -209,12 +209,23 @@ def _shift_rows_any(images, offsets, window: int, lerp_dtype, use_pallas):
     return _shift_rows(images, offsets, pad=window - w, lerp_dtype=lerp_dtype)
 
 
-def _shift_pass_cfirst(xc, offsets, window: int, lerp_dtype):
+def _shift_pass_cfirst(xc, offsets, window: int, lerp_dtype,
+                       xla_lerp: bool = False):
     """One shift pass on channel-leading data: xc (C, B, H, W) -> shifted
     (C, B, H, window).  Rows are single-channel pixel vectors, so the
     (C*B*H, W) <-> (C, B, H, W) flatten/unflatten only merges LEADING dims
     — layout-free, unlike the NHWC path whose (W, C)->(W*C) merge retiles
-    (round-3 trace: ~15 ms/step of reshape/copy around the kernel)."""
+    (round-3 trace: ~15 ms/step of reshape/copy around the kernel).
+
+    xla_lerp=True routes only the integer barrel through the kernel and
+    applies the fractional 2-tap lerp here in XLA, where it fuses into the
+    downstream banded-tap einsum (lerp-then-matmul == matmul-then-lerp by
+    linearity).  The kernel then reads AND writes the input dtype — a uint8
+    pass keeps uint8 through HBM — and sheds its conversion/lerp vector
+    ops, the measured kernel floor (BENCHLOG round 3).  The top tap
+    window[u + 1] at u = window - 1 is replaced by zero; callers must size
+    `window` so the last tent-matrix row is all-zero (affine_warp_mxu adds
+    one slack tap before 128-rounding)."""
     from peclr_tpu.ops.pallas import barrel_shift as bs
 
     c, b, h, w = xc.shape
@@ -222,6 +233,14 @@ def _shift_pass_cfirst(xc, offsets, window: int, lerp_dtype):
     k_true = jnp.floor(offsets)  # (B, H)
     k = k_true.astype(jnp.int32).reshape(-1)
     f = (offsets - k_true).reshape(-1)
+    if xla_lerp:
+        raw = bs.fused_shift_lerp_grouped(rows3, k, None, window, lerp=False)
+        win = raw.reshape(c, b, h, window).astype(lerp_dtype)
+        hi = jnp.concatenate(
+            [win[..., 1:], jnp.zeros_like(win[..., :1])], axis=-1
+        )
+        f4 = f.reshape(1, b, h, 1).astype(lerp_dtype)
+        return win * (1.0 - f4) + hi * f4
     out = bs.fused_shift_lerp_grouped(rows3, k, f, window,
                                       out_dtype=lerp_dtype)
     return out.reshape(c, b, h, window)
@@ -305,12 +324,16 @@ def affine_warp_mxu(
     u_size = int(max_scale_x * out_w) + 2
     v_size = int(max_scale_y * out_h) + 2
     use_pallas = _use_pallas_shift()
+    # barrel-only kernel + XLA-side lerp (fuses into the tap einsum); the
+    # +1 slack tap guarantees the last tent row is all-zero, which the
+    # XLA lerp's zero-filled top tap relies on (_shift_pass_cfirst)
+    xla_lerp = os.environ.get("PECLR_SHIFT_LERP", "kernel") == "xla"
     if use_pallas:
         # the fused kernel wants 128-aligned pixel windows (channel-leading
         # rows are single-channel); the extra taps sit past every sampling
         # position and contribute exact zeros
-        u_size = _round_up(u_size, 128)
-        v_size = _round_up(v_size, 128)
+        u_size = _round_up(u_size + (1 if xla_lerp else 0), 128)
+        v_size = _round_up(v_size + (1 if xla_lerp else 0), 128)
 
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
     cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]
@@ -364,7 +387,8 @@ def affine_warp_mxu(
         xc = jnp.moveaxis(x, 3, 0)  # (C, B, H, W)
         if w_pad != src_w:
             xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 0), (0, w_pad - src_w)))
-        shifted = _shift_pass_cfirst(xc, rows_off, u_size, compute_dtype)
+        shifted = _shift_pass_cfirst(xc, rows_off, u_size, compute_dtype,
+                                     xla_lerp=xla_lerp)
         tmp = jnp.einsum(
             "cbhu,bui->cbhi", shifted, w1,
             preferred_element_type=compute_dtype,
@@ -375,7 +399,8 @@ def affine_warp_mxu(
             tmp_t = jnp.pad(
                 tmp_t, ((0, 0), (0, 0), (0, 0), (0, h_pad - src_h))
             )
-        shifted_v = _shift_pass_cfirst(tmp_t, cols_off, v_size, compute_dtype)
+        shifted_v = _shift_pass_cfirst(tmp_t, cols_off, v_size, compute_dtype,
+                                       xla_lerp=xla_lerp)
         out = jnp.einsum(
             "cbiv,bvj->bjic", shifted_v, w2,
             preferred_element_type=jnp.float32,

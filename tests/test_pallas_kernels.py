@@ -89,6 +89,51 @@ def test_matmul_kernel_matches_grouped_plus_einsum(rng):
     np.testing.assert_allclose(fused, ref, rtol=1e-5, atol=1e-2)
 
 
+def test_grouped_raw_mode_matches_integer_shift(rng):
+    """lerp=False must emit the UNLERPED integer-shifted window in the
+    input dtype (uint8 stays uint8), equal to a direct numpy shift oracle;
+    applying the 2-tap lerp outside must then reproduce the lerp=True
+    kernel everywhere except the top tap (whose win[out] neighbor the XLA
+    path zero-fills — callers guarantee a zero tent row there)."""
+    from peclr_tpu.ops.pallas.barrel_shift import fused_shift_lerp_grouped
+
+    g, n, in_elems, out_elems = 3, 64, 256, 128
+    rows = rng.uniform(0, 255, (g, n, in_elems)).astype(np.float32)
+    k = rng.integers(-(out_elems + 5), in_elems + 5, (n,)).astype(np.int32)
+    f = rng.uniform(0, 1, (n,)).astype(np.float32)
+
+    raw = np.asarray(fused_shift_lerp_grouped(
+        jnp.asarray(rows), jnp.asarray(k), None, out_elems,
+        interpret=True, lerp=False,
+    ))
+    assert raw.dtype == np.float32
+    padded = np.pad(rows, ((0, 0), (0, 0), (out_elems + 4, out_elems + 4)))
+    kk = np.clip(k, -(out_elems + 2), in_elems)
+    ref = np.stack(
+        [padded[:, i, out_elems + 4 + kk[i]: out_elems + 4 + kk[i]
+                + out_elems] for i in range(n)],
+        axis=1,
+    )
+    np.testing.assert_array_equal(raw, ref)
+
+    lerped = np.asarray(fused_shift_lerp_grouped(
+        jnp.asarray(rows), jnp.asarray(k), jnp.asarray(f), out_elems,
+        out_dtype=jnp.float32, interpret=True,
+    ))
+    hi = np.concatenate([raw[..., 1:], np.zeros_like(raw[..., :1])], -1)
+    manual = raw * (1 - f[None, :, None]) + hi * f[None, :, None]
+    np.testing.assert_allclose(
+        manual[..., :-1], lerped[..., :-1], atol=1e-4
+    )
+
+    rows_u8 = rng.integers(0, 255, (g, n, in_elems)).astype(np.uint8)
+    raw8 = np.asarray(fused_shift_lerp_grouped(
+        jnp.asarray(rows_u8), jnp.asarray(k), None, out_elems,
+        interpret=True, lerp=False,
+    ))
+    assert raw8.dtype == np.uint8
+
+
 def test_shift_rows_pallas_matches_xla_shifter(rng):
     """The fused kernel must reproduce ops/warp_mxu._shift_rows bit-for-
     bit semantics (zero borders, clamped-row zeroing, 2-tap lerp) on
@@ -157,6 +202,16 @@ def test_warp_pallas_path_matches_xla_path(rng, monkeypatch):
             compute_dtype=jnp.float32,
         ))
         np.testing.assert_allclose(got, ref, atol=1e-2, err_msg=fuse)
+
+    # barrel-only kernel + XLA-side lerp (the zero top tap is exact
+    # because affine_warp_mxu sizes one slack tap into the window)
+    monkeypatch.setenv("PECLR_SHIFT_FUSE", "grouped")
+    monkeypatch.setenv("PECLR_SHIFT_LERP", "xla")
+    got = np.asarray(warp_mxu.affine_warp_mxu(
+        jnp.asarray(images), jnp.asarray(mats), (out, out),
+        compute_dtype=jnp.float32,
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-2, err_msg="xla_lerp")
 
 
 def test_pallas_geometry_fallback(monkeypatch):

@@ -191,7 +191,14 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     lerp=False runs the barrel-only kernel: returns the UNLERPED integer-
     shifted window in rows3's own dtype (f is ignored, may be None); the
     caller owns the fractional 2-tap lerp.  out[g, n, u] = rows3[g, n, u+k_n]
-    with zeros outside the source."""
+    with zeros outside the source.  out_dtype must be left at its default —
+    the raw window's dtype IS the input dtype (that is the point of the
+    mode), so a caller-supplied out_dtype would be silently ignored."""
+    if not lerp and out_dtype is not jnp.bfloat16:
+        raise ValueError(
+            "lerp=False emits the window in rows3.dtype; out_dtype is not "
+            "honored — leave it at its default"
+        )
     g, n, in_elems = rows3.shape
     assert n % BLOCK_ROWS == 0, n
     assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)

@@ -235,12 +235,15 @@ def _shift_pass_cfirst(xc, offsets, window: int, lerp_dtype,
     f = (offsets - k_true).reshape(-1)
     if xla_lerp:
         raw = bs.fused_shift_lerp_grouped(rows3, k, None, window, lerp=False)
-        win = raw.reshape(c, b, h, window).astype(lerp_dtype)
+        # lerp in f32 to match the in-kernel path bit-for-bit (the kernel
+        # lerps in f32 before casting); lerping in lerp_dtype directly
+        # measured the same speed but diverges <1 LSB on uint8 sources
+        win = raw.reshape(c, b, h, window).astype(jnp.float32)
         hi = jnp.concatenate(
             [win[..., 1:], jnp.zeros_like(win[..., :1])], axis=-1
         )
-        f4 = f.reshape(1, b, h, 1).astype(lerp_dtype)
-        return win * (1.0 - f4) + hi * f4
+        f4 = f.reshape(1, b, h, 1).astype(jnp.float32)
+        return (win * (1.0 - f4) + hi * f4).astype(lerp_dtype)
     out = bs.fused_shift_lerp_grouped(rows3, k, f, window,
                                       out_dtype=lerp_dtype)
     return out.reshape(c, b, h, window)
@@ -326,7 +329,10 @@ def affine_warp_mxu(
     use_pallas = _use_pallas_shift()
     # barrel-only kernel + XLA-side lerp (fuses into the tap einsum); the
     # +1 slack tap guarantees the last tent row is all-zero, which the
-    # XLA lerp's zero-filled top tap relies on (_shift_pass_cfirst)
+    # XLA lerp's zero-filled top tap relies on (_shift_pass_cfirst).
+    # NOTE: PECLR_SHIFT_FUSE=matmul OVERRIDES this — the matmul kernel
+    # always lerps in-kernel; when it wins the dispatch below, the only
+    # xla_lerp effect left is the (harmless) +1 slack tap in u/v_size.
     xla_lerp = os.environ.get("PECLR_SHIFT_LERP", "kernel") == "xla"
     if use_pallas:
         # the fused kernel wants 128-aligned pixel windows (channel-leading

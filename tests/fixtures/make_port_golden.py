@@ -1,12 +1,14 @@
-"""Generate the committed released-checkpoint golden fixture.
+"""Generate the committed released-checkpoint golden fixtures.
 
-Run from the repo root:  python tests/fixtures/make_port_golden.py
+Run from the repo root:
+    python tests/fixtures/make_port_golden.py [size ...]     (default: 50 152)
 
-Writes:
-  tests/fixtures/port_rn50_keys.json   — exact key/shape manifests of the
+Writes, per resnet size N:
+  tests/fixtures/port_rnN_keys.json   — exact key/shape manifests of the
       three released checkpoint layouts (torchvision / PeCLR-lightning /
-      RN_25D_wMLPref) for RN50.
-  tests/fixtures/port_rn50_golden.npz  — SHA-256 digests of the seeded
+      RN_25D_wMLPref).  The reference releases BOTH RN50 and RN152 weights
+      (/root/reference/README.md:84-122), so both sizes are pinned.
+  tests/fixtures/port_rnN_golden.npz  — SHA-256 digests of the seeded
       fixture state dicts + the torch-oracle forward embedding on a fixed
       input (tests/torch_resnet_ref.py), pinning the port tables AND the
       flax encoder numerics against an immutable historical value.
@@ -34,13 +36,13 @@ from tests.port_fixture import (  # noqa: E402
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def main():
+def write_size(size: str):
     manifests = {
-        "torchvision_rn50": torchvision_resnet_manifest("50"),
-        "peclr_lightning_rn50": peclr_lightning_manifest("50"),
-        "rn25d_rn50": rn25d_manifest("50"),
+        f"torchvision_rn{size}": torchvision_resnet_manifest(size),
+        f"peclr_lightning_rn{size}": peclr_lightning_manifest(size),
+        f"rn25d_rn{size}": rn25d_manifest(size),
     }
-    with open(os.path.join(HERE, "port_rn50_keys.json"), "w") as f:
+    with open(os.path.join(HERE, f"port_rn{size}_keys.json"), "w") as f:
         json.dump(
             {k: [[n, list(s)] for n, s in v] for k, v in manifests.items()},
             f,
@@ -58,19 +60,24 @@ def main():
         np.float32
     )
     emb = torch_resnet_forward(
-        dicts["torchvision_rn50"], "50", torch.from_numpy(x)
+        dicts[f"torchvision_rn{size}"], size, torch.from_numpy(x)
     ).numpy()
 
     np.savez(
-        os.path.join(HERE, "port_rn50_golden.npz"),
+        os.path.join(HERE, f"port_rn{size}_golden.npz"),
         embedding=emb,
         **{f"digest_{k}": np.frombuffer(bytes.fromhex(d), np.uint8)
            for k, d in digests.items()},
     )
     print({k: (len(v), d[:12]) for (k, v), d in zip(manifests.items(),
                                                     digests.values())})
-    print("embedding", emb.shape, float(np.abs(emb).mean()))
+    print(f"rn{size} embedding", emb.shape, float(np.abs(emb).mean()))
+
+
+def main(sizes):
+    for size in sizes:
+        write_size(size)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or ["50", "152"])

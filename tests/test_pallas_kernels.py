@@ -132,6 +132,26 @@ def test_grouped_raw_mode_matches_integer_shift(rng):
         interpret=True, lerp=False,
     ))
     assert raw8.dtype == np.uint8
+    # values, not just dtype: the uint8 barrel runs a different roll
+    # lowering (slice+concat _lane_roll), so regressions there are
+    # uint8-specific and invisible to the f32 oracle above
+    padded8 = np.pad(
+        rows_u8, ((0, 0), (0, 0), (out_elems + 4, out_elems + 4))
+    )
+    ref8 = np.stack(
+        [padded8[:, i, out_elems + 4 + kk[i]: out_elems + 4 + kk[i]
+                 + out_elems] for i in range(n)],
+        axis=1,
+    )
+    np.testing.assert_array_equal(raw8, ref8)
+
+    # a caller-supplied out_dtype with lerp=False must be rejected, not
+    # silently overridden (ADVICE r3)
+    with pytest.raises(ValueError):
+        fused_shift_lerp_grouped(
+            jnp.asarray(rows_u8), jnp.asarray(k), None, out_elems,
+            out_dtype=jnp.float32, interpret=True, lerp=False,
+        )
 
 
 def test_shift_rows_pallas_matches_xla_shifter(rng):

@@ -7,11 +7,16 @@ layouts, bit-exact port round-trips through the REAL key sets (including
 num_batches_tracked and zroot_ref.zroot_ref.N), the reference port tool's
 positional-zip contract, the port CLI end-to-end on a .pth file, and the
 flax forward against a committed torch-oracle embedding.
+
+Both released backbone sizes are covered: RN50 and RN152
+(/root/reference/README.md:84-122 releases both; the RN152 bottleneck
+stacking (3, 8, 36, 3) exercises port-table paths RN50 never reaches).
 """
 
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -28,16 +33,23 @@ from tests.port_fixture import (
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
+SIZES = ("50", "152")
+
+
+@pytest.fixture(scope="module", params=SIZES)
+def size(request):
+    return request.param
+
 
 @pytest.fixture(scope="module")
-def golden():
-    with np.load(os.path.join(FIXTURES, "port_rn50_golden.npz")) as z:
+def golden(size):
+    with np.load(os.path.join(FIXTURES, f"port_rn{size}_golden.npz")) as z:
         return {k: z[k] for k in z.files}
 
 
 @pytest.fixture(scope="module")
-def key_manifest():
-    with open(os.path.join(FIXTURES, "port_rn50_keys.json")) as f:
+def key_manifest(size):
+    with open(os.path.join(FIXTURES, f"port_rn{size}_keys.json")) as f:
         return json.load(f)
 
 
@@ -45,34 +57,32 @@ def _digest_hex(golden, name):
     return bytes(golden[f"digest_{name}"]).hex()
 
 
+_MANIFEST_FNS = (
+    ("torchvision", torchvision_resnet_manifest),
+    ("peclr_lightning", peclr_lightning_manifest),
+    ("rn25d", rn25d_manifest),
+)
+
+
 class TestManifests:
-    @pytest.mark.parametrize(
-        "name,fn",
-        [
-            ("torchvision_rn50", lambda: torchvision_resnet_manifest("50")),
-            ("peclr_lightning_rn50", lambda: peclr_lightning_manifest("50")),
-            ("rn25d_rn50", lambda: rn25d_manifest("50")),
-        ],
-    )
-    def test_matches_committed_keys(self, key_manifest, name, fn):
-        ours = [[k, list(s)] for k, s in fn()]
-        assert ours == key_manifest[name]
+    @pytest.mark.parametrize("name,fn", _MANIFEST_FNS)
+    def test_matches_committed_keys(self, key_manifest, size, name, fn):
+        ours = [[k, list(s)] for k, s in fn(size)]
+        assert ours == key_manifest[f"{name}_rn{size}"]
 
-    def test_fixture_generator_is_stable(self, golden):
-        for name, fn in [
-            ("torchvision_rn50", lambda: torchvision_resnet_manifest("50")),
-            ("peclr_lightning_rn50", lambda: peclr_lightning_manifest("50")),
-            ("rn25d_rn50", lambda: rn25d_manifest("50")),
-        ]:
-            sd = make_state_dict(fn(), seed=7)
-            assert state_dict_digest(sd) == _digest_hex(golden, name), name
+    def test_fixture_generator_is_stable(self, golden, size):
+        for name, fn in _MANIFEST_FNS:
+            sd = make_state_dict(fn(size), seed=7)
+            assert state_dict_digest(sd) == _digest_hex(
+                golden, f"{name}_rn{size}"
+            ), name
 
-    def test_positional_zip_contract(self):
+    def test_positional_zip_contract(self, size):
         # the reference port tool zips 'features' keys positionally against
         # torchvision keys, checking only last name components
         # (port_model.py:24-40) — our layouts must satisfy that invariant
-        tv = torchvision_resnet_manifest("50")
-        lt = [e for e in peclr_lightning_manifest("50") if "features" in e[0]]
+        tv = torchvision_resnet_manifest(size)
+        lt = [e for e in peclr_lightning_manifest(size) if "features" in e[0]]
         assert len(tv) == len(lt)
         for (tk, ts), (lk, ls) in zip(tv, lt):
             assert tk.split(".")[-1] == lk.split(".")[-1]
@@ -80,92 +90,118 @@ class TestManifests:
 
 
 class TestForwardGolden:
-    def test_torch_oracle_matches_committed_embedding(self, golden):
+    def test_torch_oracle_matches_committed_embedding(self, golden, size):
         torch = pytest.importorskip("torch")
         from tests.torch_resnet_ref import torch_resnet_forward
 
-        sd = make_state_dict(torchvision_resnet_manifest("50"), seed=7)
+        sd = make_state_dict(torchvision_resnet_manifest(size), seed=7)
         x = np.random.default_rng(123).standard_normal((2, 3, 128, 128))
         emb = torch_resnet_forward(
-            sd, "50", torch.from_numpy(x.astype(np.float32))
+            sd, size, torch.from_numpy(x.astype(np.float32))
         ).numpy()
-        np.testing.assert_allclose(emb, golden["embedding"], atol=1e-4, rtol=1e-5)
+        np.testing.assert_allclose(emb, golden["embedding"], atol=1e-4,
+                                   rtol=1e-5)
 
-    def test_flax_import_matches_committed_embedding(self, golden):
-        sd = make_state_dict(torchvision_resnet_manifest("50"), seed=7)
-        variables = port.torchvision_to_encoder(sd, "50")
+    def test_flax_import_matches_committed_embedding(self, golden, size):
+        sd = make_state_dict(torchvision_resnet_manifest(size), seed=7)
+        variables = port.torchvision_to_encoder(sd, size)
         x = np.random.default_rng(123).standard_normal((2, 3, 128, 128))
-        ours = ResNetEncoder(size="50").apply(
+        ours = ResNetEncoder(size=size).apply(
             variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1)), jnp.float32),
             train=False,
         )
+        # the seeded RN152 fixture amplifies activations ~3e9 over its 50
+        # blocks, so the comparison must be relative-dominated; rtol 5e-3
+        # (RN50 measured <1e-4, RN152 <2e-3 of f32 accumulation skew) still
+        # detects any layer-level port bug (a swapped BN stat or conv
+        # transpose changes the embedding at O(1) relative scale)
         np.testing.assert_allclose(
-            np.asarray(ours), golden["embedding"], atol=5e-3, rtol=1e-3
+            np.asarray(ours), golden["embedding"], atol=5e-3, rtol=5e-3
         )
 
 
 class TestReleasedLayoutRoundTrips:
-    def test_lightning_import_export_bit_exact(self):
-        sd = make_state_dict(peclr_lightning_manifest("50"), seed=7)
-        variables = port.peclr_checkpoint_to_variables(sd, "50")
-        back = port.variables_to_peclr_checkpoint(variables, "50")
+    def test_lightning_import_export_bit_exact(self, size):
+        sd = make_state_dict(peclr_lightning_manifest(size), seed=7)
+        variables = port.peclr_checkpoint_to_variables(sd, size)
+        back = port.variables_to_peclr_checkpoint(variables, size)
+        # the vestigial encoder.final_layer.* head is dropped on import (it
+        # never reaches the flax variables), so back ⊂ sd by design
+        assert set(sd) - set(back) == {
+            "encoder.final_layer.0.weight", "encoder.final_layer.0.bias"
+        }
         for k, v in back.items():
             if k.endswith("num_batches_tracked"):
                 assert k in sd
                 continue
             np.testing.assert_array_equal(v, sd[k], err_msg=k)
 
-    def test_lightning_to_torchvision_values(self):
+    def test_lightning_to_torchvision_values(self, size):
         # ported values land positionally: features key i -> torchvision key i
-        sd = make_state_dict(peclr_lightning_manifest("50"), seed=7)
-        variables = port.peclr_checkpoint_to_variables(sd, "50")
-        out = port.peclr_to_torchvision(variables, "50")
-        tv = torchvision_resnet_manifest("50")
+        sd = make_state_dict(peclr_lightning_manifest(size), seed=7)
+        variables = port.peclr_checkpoint_to_variables(sd, size)
+        out = port.peclr_to_torchvision(variables, size)
+        tv = torchvision_resnet_manifest(size)
         assert [k for k, _ in tv] == list(out)  # same keys, same ORDER
-        lt = [e for e in peclr_lightning_manifest("50") if "features" in e[0]]
+        lt = [e for e in peclr_lightning_manifest(size) if "features" in e[0]]
         for (tk, _), (lk, _) in zip(tv, lt):
             if tk.endswith("num_batches_tracked"):
                 continue
             np.testing.assert_array_equal(out[tk], sd[lk], err_msg=tk)
 
-    def test_rn25d_import_forward_export(self):
+    def test_rn25d_import_forward_export(self, size):
         from peclr_tpu.models import RN25DPose
 
-        sd = make_state_dict(rn25d_manifest("50"), seed=7)
-        variables = port.rn25d_checkpoint_to_variables(sd, "50")
-        model = RN25DPose(size="50")
+        sd = make_state_dict(rn25d_manifest(size), seed=7)
+        variables = port.rn25d_checkpoint_to_variables(sd, size)
+        model = RN25DPose(size=size)
         x = jnp.asarray(
             np.random.default_rng(5).standard_normal((2, 128, 128, 3)),
             jnp.float32,
         )
-        out = model.apply(variables, x, train=False)
+        # the seeded RN152 fixture's embedding reaches ~3e9 (the random
+        # weights gain >1 per block), which overflows the z-root quadratic;
+        # scale the fc head so kp25d is O(1) for the forward — a constant
+        # fc scale exercises the same import layout — while the export
+        # below round-trips the UNscaled variables
+        fc_scale = {"50": 1.0, "152": 1e-9}[size]
+        fwd_vars = {
+            **variables,
+            "params": {
+                **variables["params"],
+                "fc": jax.tree_util.tree_map(
+                    lambda a: a * fc_scale, variables["params"]["fc"]
+                ),
+            },
+        }
+        out = model.apply(fwd_vars, x, train=False)
         assert out["kp3d"].shape == (2, 21, 3)
         assert bool(jnp.isfinite(out["kp3d"]).all())
-        back = port.variables_to_rn25d_checkpoint(variables, "50")
+        back = port.variables_to_rn25d_checkpoint(variables, size)
+        assert set(back) == set(sd)
         for k, v in back.items():
             if k.endswith("num_batches_tracked"):
-                assert k in sd
                 continue
             np.testing.assert_array_equal(v, sd[k], err_msg=k)
 
 
 class TestPortCLI:
-    def test_cli_on_released_pth(self, tmp_path):
+    def test_cli_on_released_pth(self, tmp_path, size):
         torch = pytest.importorskip("torch")
         from peclr_tpu.cli.port import main as port_main
 
-        sd = make_state_dict(peclr_lightning_manifest("50"), seed=7)
-        src = tmp_path / "peclr_rn50.pth"
+        sd = make_state_dict(peclr_lightning_manifest(size), seed=7)
+        src = tmp_path / f"peclr_rn{size}.pth"
         torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()}},
                    str(src))
         dst = tmp_path / "tv.npz"
         port_main([str(src), str(dst), "-format", "peclr_to_torchvision",
-                   "-resnet_size", "50"])
+                   "-resnet_size", size])
         with np.load(dst) as z:
             out = {k: z[k] for k in z.files}
-        tv = torchvision_resnet_manifest("50")
+        tv = torchvision_resnet_manifest(size)
         assert [k for k, _ in tv] == list(out)
-        lt = [e for e in peclr_lightning_manifest("50") if "features" in e[0]]
+        lt = [e for e in peclr_lightning_manifest(size) if "features" in e[0]]
         for (tk, _), (lk, _) in zip(tv, lt):
             if tk.endswith("num_batches_tracked"):
                 continue  # dropped on import, synthesized as 0 on export

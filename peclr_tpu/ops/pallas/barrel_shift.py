@@ -41,11 +41,14 @@ with zeros outside the source and for clamped rows.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 #: rows per grid step — the largest divisor of N from this list is used.
 #: 256 measured fastest on v5e with VMEM shift vectors (the old SMEM
@@ -125,32 +128,20 @@ def _kernel_raw(t_ref, x_ref, o_ref, *, num_bits: int, p: int,
     o_ref[0] = x[:, :out_elems]
 
 
-def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
-                     out_dtype=jnp.bfloat16, interpret: bool = False):
-    """rows: (N, in_elems) uint8/bf16/f32 — flattened (W*C) pixel rows.
-    k: (N,) int32 integer pixel shifts (may be negative); f: (N,) float
-    fractions in [0, 1).  Returns (N, out_elems) out_dtype with
-    out[n, u*C+c] = lerp(rows[n, (u+k)*C+c], rows[n, (u+k+1)*C+c], f[n]),
-    zero outside the source.  N % BLOCK_ROWS == 0, in_elems/out_elems
-    multiples of 128; out_elems/c + 2 taps of headroom are sized into the
-    padded width."""
+def _flat_invoke(t, f, rows, *, out_elems: int, c: int, p: int,
+                 num_bits: int, out_dtype, interpret: bool):
+    """Run the flat kernel on (possibly per-shard) operands: t/f (N, 1),
+    rows (N, in_elems).  Called directly (no mesh) or as the per-shard
+    lowering of the custom-partitioned wrapper, where N is the SHARD's
+    row count — the block size adapts to it."""
     n, in_elems = rows.shape
-    assert n % BLOCK_ROWS == 0, n
-    assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
+    if n % BLOCK_ROWS:
+        raise ValueError(
+            f"per-shard row count {n} is not a multiple of BLOCK_ROWS "
+            f"({BLOCK_ROWS}); shard the batch so each device keeps "
+            f"BLOCK_ROWS-aligned rows, or set PECLR_SHIFT=xla"
+        )
     block_rows = next(b for b in BLOCK_ROWS_CHOICES if n % b == 0)
-    # clamp exactly like the XLA shifter: k in [-(out_w+2), w]
-    out_w = out_elems // c
-    w_px = in_elems // c
-    k = jnp.clip(k, -(out_w + 2), w_px)
-    # padded width: any tap u + k outside [0, w) must roll into the zero
-    # region [0, p - in_elems): need p >= in_elems + out_elems + 2*c
-    p = _round_up(in_elems + out_elems + 2 * c, 128)
-    # right-roll amount: content sits at [p - in_elems, p); out[u] wants
-    # rows[u + k] i.e. x[u + k + p - in_elems] -> roll right by
-    # t = in_elems - k_elems  (t >= 0 because k <= w_px)
-    t = (in_elems - k * c).astype(jnp.int32)
-    num_bits = int(in_elems + (out_w + 2) * c).bit_length()
-
     grid_spec = pl.GridSpec(
         grid=(n // block_rows,),
         in_specs=[
@@ -174,7 +165,180 @@ def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
         out_shape=jax.ShapeDtypeStruct((n, out_elems), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1), rows)
+    )(t, f, rows)
+
+
+def _spec_dim(sharding, i):
+    """Mesh-axis name partitioning dim i, or None (replicated/unknown)."""
+    try:
+        spec = sharding.spec
+    except AttributeError:
+        return None
+    return spec[i] if i < len(spec) else None
+
+
+def _use_partitioned() -> bool:
+    """Wrap the kernels in custom_partitioning so a GSPMD-sharded program
+    splits them along the rows/batch dim?  Without the wrapper XLA treats
+    the pallas custom call as unpartitionable and REPLICATES it (all-gather
+    of the full canvas batch onto every chip — measured on the 8-device
+    test mesh).  PECLR_SHIFT_PARTITION=off reverts to the bare call."""
+    return os.environ.get("PECLR_SHIFT_PARTITION", "on") != "off"
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_cp(out_elems: int, c: int, p: int, num_bits: int, out_dtype,
+             interpret: bool):
+    invoke = functools.partial(
+        _flat_invoke, out_elems=out_elems, c=c, p=p, num_bits=num_bits,
+        out_dtype=out_dtype, interpret=interpret,
+    )
+
+    @custom_partitioning
+    def call(t, f, rows):
+        return invoke(t, f, rows)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(
+            mesh, PartitionSpec(_spec_dim(arg_shapes[2].sharding, 0), None)
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        ndim = _spec_dim(arg_shapes[2].sharding, 0)
+        vec_sh = NamedSharding(mesh, PartitionSpec(ndim, None))
+        rows_sh = NamedSharding(mesh, PartitionSpec(ndim, None))
+        return mesh, invoke, rows_sh, (vec_sh, vec_sh, rows_sh)
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        # rows may shard along n only; the element axes stay whole (the
+        # barrel mixes elements within a row)
+        sharding_rule="n u, n u, n e -> n o",
+    )
+    return call
+
+
+def fused_shift_lerp(rows, k, f, out_elems: int, c: int,
+                     out_dtype=jnp.bfloat16, interpret: bool = False):
+    """rows: (N, in_elems) uint8/bf16/f32 — flattened (W*C) pixel rows.
+    k: (N,) int32 integer pixel shifts (may be negative); f: (N,) float
+    fractions in [0, 1).  Returns (N, out_elems) out_dtype with
+    out[n, u*C+c] = lerp(rows[n, (u+k)*C+c], rows[n, (u+k+1)*C+c], f[n]),
+    zero outside the source.  N % BLOCK_ROWS == 0, in_elems/out_elems
+    multiples of 128; out_elems/c + 2 taps of headroom are sized into the
+    padded width."""
+    n, in_elems = rows.shape
+    assert n % BLOCK_ROWS == 0, n
+    assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
+    # clamp exactly like the XLA shifter: k in [-(out_w+2), w]
+    out_w = out_elems // c
+    w_px = in_elems // c
+    k = jnp.clip(k, -(out_w + 2), w_px)
+    # padded width: any tap u + k outside [0, w) must roll into the zero
+    # region [0, p - in_elems): need p >= in_elems + out_elems + 2*c
+    p = _round_up(in_elems + out_elems + 2 * c, 128)
+    # right-roll amount: content sits at [p - in_elems, p); out[u] wants
+    # rows[u + k] i.e. x[u + k + p - in_elems] -> roll right by
+    # t = in_elems - k_elems  (t >= 0 because k <= w_px)
+    t = (in_elems - k * c).astype(jnp.int32)
+    num_bits = int(in_elems + (out_w + 2) * c).bit_length()
+
+    fn = (
+        _flat_cp(out_elems, c, p, num_bits, out_dtype, interpret)
+        if _use_partitioned()
+        else functools.partial(
+            _flat_invoke, out_elems=out_elems, c=c, p=p, num_bits=num_bits,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+    )
+    return fn(t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1), rows)
+
+
+def _grouped_invoke(*operands, out_elems: int, p: int, num_bits: int,
+                    out_dtype, interpret: bool, lerp: bool):
+    """Run the grouped kernel on (possibly per-shard) operands:
+    (t (N,1), f (N,1), rows3 (G,N,E)) with lerp, (t, rows3) without."""
+    rows3 = operands[-1]
+    g, n, in_elems = rows3.shape
+    if n % BLOCK_ROWS:
+        raise ValueError(
+            f"per-shard row count {n} is not a multiple of BLOCK_ROWS "
+            f"({BLOCK_ROWS}); shard the batch so each device keeps "
+            f"BLOCK_ROWS-aligned rows, or set PECLR_SHIFT=xla"
+        )
+    block_rows = next(b for b in BLOCK_ROWS_CHOICES if n % b == 0)
+    tf_specs = [
+        pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    grid_spec = pl.GridSpec(
+        grid=(g, n // block_rows),
+        in_specs=(tf_specs if lerp else tf_specs[:1]) + [
+            pl.BlockSpec((1, block_rows, in_elems),
+                         lambda gi, j: (gi, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, out_elems),
+                               lambda gi, j: (gi, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    if lerp:
+        kernel = functools.partial(
+            _kernel, num_bits=num_bits, p=p, out_elems=out_elems, c=1,
+            in_elems=in_elems, block_rows=block_rows, grouped=True,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel_raw, num_bits=num_bits, p=p, out_elems=out_elems,
+        )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, n, out_elems), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.lru_cache(maxsize=None)
+def _grouped_cp(out_elems: int, p: int, num_bits: int, out_dtype,
+                interpret: bool, lerp: bool):
+    invoke = functools.partial(
+        _grouped_invoke, out_elems=out_elems, p=p, num_bits=num_bits,
+        out_dtype=out_dtype, interpret=interpret, lerp=lerp,
+    )
+
+    @custom_partitioning
+    def call(*operands):
+        return invoke(*operands)
+
+    def infer(mesh, arg_shapes, result_shape):
+        rows_sh = arg_shapes[-1].sharding
+        return NamedSharding(
+            mesh,
+            PartitionSpec(_spec_dim(rows_sh, 0), _spec_dim(rows_sh, 1), None),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        rows_sharding = arg_shapes[-1].sharding
+        gdim = _spec_dim(rows_sharding, 0)
+        ndim = _spec_dim(rows_sharding, 1)
+        rows_sh = NamedSharding(mesh, PartitionSpec(gdim, ndim, None))
+        vec_sh = NamedSharding(mesh, PartitionSpec(ndim, None))
+        args_sh = ((vec_sh, vec_sh, rows_sh) if lerp else (vec_sh, rows_sh))
+        return mesh, invoke, rows_sh, args_sh
+
+    call.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        # channel planes (g) and rows (n) both shard; element axes stay
+        # whole — the barrel mixes elements within a row
+        sharding_rule=("n u, n v, g n e -> g n o" if lerp
+                       else "n u, g n e -> g n o"),
+    )
+    return call
 
 
 def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
@@ -202,7 +366,6 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     g, n, in_elems = rows3.shape
     assert n % BLOCK_ROWS == 0, n
     assert in_elems % 128 == 0 and out_elems % 128 == 0, (in_elems, out_elems)
-    block_rows = next(b for b in BLOCK_ROWS_CHOICES if n % b == 0)
     out_w = out_elems
     w_px = in_elems
     k = jnp.clip(k, -(out_w + 2), w_px)
@@ -210,42 +373,20 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     t = (in_elems - k).astype(jnp.int32)
     num_bits = int(in_elems + out_w + 2).bit_length()
 
-    tf_specs = [
-        pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_rows, 1), lambda gi, j: (j, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    grid_spec = pl.GridSpec(
-        grid=(g, n // block_rows),
-        in_specs=(tf_specs if lerp else tf_specs[:1]) + [
-            pl.BlockSpec((1, block_rows, in_elems),
-                         lambda gi, j: (gi, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_rows, out_elems),
-                               lambda gi, j: (gi, j, 0),
-                               memory_space=pltpu.VMEM),
-    )
     if lerp:
-        kernel = functools.partial(
-            _kernel, num_bits=num_bits, p=p, out_elems=out_elems, c=1,
-            in_elems=in_elems, block_rows=block_rows, grouped=True,
-        )
         operands = (t.reshape(n, 1), f.astype(jnp.float32).reshape(n, 1),
                     rows3)
     else:
-        kernel = functools.partial(
-            _kernel_raw, num_bits=num_bits, p=p, out_elems=out_elems,
-        )
         out_dtype = rows3.dtype
         operands = (t.reshape(n, 1), rows3)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((g, n, out_elems), out_dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*operands)
+    if _use_partitioned():
+        fn = _grouped_cp(out_elems, p, num_bits, out_dtype, interpret, lerp)
+    else:
+        fn = functools.partial(
+            _grouped_invoke, out_elems=out_elems, p=p, num_bits=num_bits,
+            out_dtype=out_dtype, interpret=interpret, lerp=lerp,
+        )
+    return fn(*operands)
 
 
 def _matmul_kernel(t_ref, f_ref, x_ref, w_ref, o_ref, *, num_bits: int,
@@ -292,6 +433,10 @@ def fused_shift_lerp_matmul(rows4, k, f, w_t, out_dtype=jnp.float32,
     XLA overlaps the standalone einsum with neighboring HLO, and pass 1
     pays 14% extra shift rows for the h-pad sentinels.  Off by default;
     enable with PECLR_SHIFT_FUSE=matmul (BENCHLOG round 3).
+
+    NOT custom-partitioned: under a GSPMD mesh this call REPLICATES (XLA
+    all-gathers its inputs to every chip).  The default grouped kernels
+    carry the sharding rule; this losing A/B variant stays single-chip.
     """
     g, b, r, in_elems = rows4.shape
     _, m, out_elems = w_t.shape

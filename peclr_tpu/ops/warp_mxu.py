@@ -250,13 +250,30 @@ def _shift_pass_cfirst(xc, offsets, window: int, lerp_dtype,
 
 
 def _pallas_cfirst_ok(b, src_h, out_w, c, u_size, v_size) -> bool:
+    """Channel-leading fast-path gate.  The grouped kernel's row count is
+    b*h PER PLANE (the c planes ride the grid's leading axis), so the
+    BLOCK_ROWS divisibility is on b*src_h / b*out_w — NOT c*b*h, which for
+    even c could pass while the kernel's own assert fails."""
     from peclr_tpu.ops.pallas.barrel_shift import BLOCK_ROWS
 
     return (
         u_size % 128 == 0 and v_size % 128 == 0
-        and (c * b * src_h) % BLOCK_ROWS == 0
-        and (c * b * out_w) % BLOCK_ROWS == 0
+        and (b * src_h) % BLOCK_ROWS == 0
+        and (b * out_w) % BLOCK_ROWS == 0
     )
+
+
+def pallas_window_sizes(out_hw, max_scale_x: float, max_scale_y: float,
+                        xla_lerp: bool = False):
+    """The static (u_size, v_size) sampling windows the Pallas fast path
+    uses for a given output size and slope bounds — the exact arithmetic
+    of affine_warp_mxu, exposed so tests can assert the sharded-recipe
+    geometry keeps the fast path on (VERDICT r3 #7)."""
+    out_h, out_w = out_hw
+    u_size = int(max_scale_x * out_w) + 2
+    v_size = int(max_scale_y * out_h) + 2
+    slack = 1 if xla_lerp else 0
+    return _round_up(u_size + slack, 128), _round_up(v_size + slack, 128)
 
 
 def _pallas_matmul_ok(h_pad, w_pad, out_hw, u_size, v_size) -> bool:
@@ -338,8 +355,9 @@ def affine_warp_mxu(
         # the fused kernel wants 128-aligned pixel windows (channel-leading
         # rows are single-channel); the extra taps sit past every sampling
         # position and contribute exact zeros
-        u_size = _round_up(u_size + (1 if xla_lerp else 0), 128)
-        v_size = _round_up(v_size + (1 if xla_lerp else 0), 128)
+        u_size, v_size = pallas_window_sizes(
+            out_hw, max_scale_x, max_scale_y, xla_lerp
+        )
 
     rows_off = beta[:, None] * jnp.arange(src_h, dtype=jnp.float32)[None, :] + gamma[:, None]
     cols_off = C[:, None] * jnp.arange(out_w, dtype=jnp.float32)[None, :] + TY[:, None]

@@ -177,8 +177,16 @@ def pretrain(kind: str, imgs, joints, steps: int, batch: int, seed: int,
 
 
 def linear_probe(embed, imgs, joints, view: int, train_n: int, seed: int):
-    """Ridge-regress 2D keypoints from frozen embeddings; returns val EPE
-    in canvas pixels."""
+    """Ridge-regress 2D keypoints from frozen embeddings; returns
+    {"abs": EPE, "rel": EPE} in canvas pixels.
+
+    "abs" targets absolute canvas coordinates (position + pose — the
+    equivariance claim's home turf); "rel" targets wrist-centered
+    coordinates (pose only, wrist excluded from the error).  The split
+    diagnoses WHERE PeCLR-vs-SimCLR orderings come from: equivariant
+    features should carry absolute position that invariant features
+    discard, while pure-pose decodability can saturate for both
+    (VERDICT r3 #4)."""
     import cv2
     import jax.numpy as jnp
 
@@ -190,12 +198,22 @@ def linear_probe(embed, imgs, joints, view: int, train_n: int, seed: int):
     f = np.concatenate(feats).astype(np.float64)
     f = (f - f[:train_n].mean(0)) / (f[:train_n].std(0) + 1e-6)
     f = np.concatenate([f, np.ones((len(f), 1))], axis=1)
-    y = joints[:, :, :2].reshape(len(f), -1).astype(np.float64) / canvas
-    ftr, ytr = f[:train_n], y[:train_n]
-    w = np.linalg.solve(ftr.T @ ftr + 1e-3 * np.eye(f.shape[1]), ftr.T @ ytr)
-    pred = f[train_n:] @ w
-    err = (pred - y[train_n:]).reshape(-1, 21, 2) * canvas
-    return float(np.sqrt((err ** 2).sum(-1)).mean())
+    ftr = f[:train_n]
+    solve_lhs = ftr.T @ ftr + 1e-3 * np.eye(f.shape[1])
+
+    def fit(y):
+        w = np.linalg.solve(solve_lhs, ftr.T @ y[:train_n])
+        return (f[train_n:] @ w - y[train_n:])
+
+    pts = joints[:, :, :2].astype(np.float64)
+    y_abs = pts.reshape(len(f), -1) / canvas
+    err = fit(y_abs).reshape(-1, 21, 2) * canvas
+    epe_abs = float(np.sqrt((err ** 2).sum(-1)).mean())
+    # wrist-centered, wrist (identically 0) excluded from the error
+    y_rel = (pts - pts[:, :1]).reshape(len(f), -1) / canvas
+    err_rel = fit(y_rel).reshape(-1, 21, 2)[:, 1:] * canvas
+    epe_rel = float(np.sqrt((err_rel ** 2).sum(-1)).mean())
+    return {"abs": epe_abs, "rel": epe_rel}
 
 
 def main():
@@ -229,8 +247,10 @@ def main():
         def probe_hook(step_i, embed_fn, kind=kind, curve=curve):
             e = linear_probe(embed_fn, imgs, joints, args.view,
                              args.probe_train, args.seed)
-            curve.append({"step": step_i, "probe_epe_px": e})
-            print(f"  {kind} @ {step_i}: probe EPE {e:.2f} px")
+            curve.append({"step": step_i, "probe_epe_px": e["abs"],
+                          "probe_epe_rel_px": e["rel"]})
+            print(f"  {kind} @ {step_i}: probe EPE {e['abs']:.2f} px "
+                  f"(rel {e['rel']:.2f})")
 
         embed, losses, _state = pretrain(
             kind, imgs, joints, args.steps, args.batch, args.seed,
@@ -240,12 +260,15 @@ def main():
         )
         if curve and curve[-1]["step"] == args.steps:
             epe = curve[-1]["probe_epe_px"]  # already probed at the last step
+            epe_rel = curve[-1]["probe_epe_rel_px"]
         else:
-            epe = linear_probe(embed, imgs, joints, args.view,
-                               args.probe_train, args.seed)
-            curve.append({"step": args.steps, "probe_epe_px": epe})
-        results[kind] = {"probe_epe_px": epe, "final_loss":
-                         float(np.mean(losses[-10:]))}
+            e = linear_probe(embed, imgs, joints, args.view,
+                             args.probe_train, args.seed)
+            epe, epe_rel = e["abs"], e["rel"]
+            curve.append({"step": args.steps, "probe_epe_px": epe,
+                          "probe_epe_rel_px": epe_rel})
+        results[kind] = {"probe_epe_px": epe, "probe_epe_rel_px": epe_rel,
+                         "final_loss": float(np.mean(losses[-10:]))}
         stride = max(len(losses) // 200, 1)
         curves[kind] = {
             "probe": curve,

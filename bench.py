@@ -50,6 +50,7 @@ def main():
     step = make_peclr_train_step(
         model, tx, flags, aug, accum=accum, unroll=unroll, with_stats=False,
         donate=True, compiler_options=json.loads(opts) if opts else "auto",
+        stats_accum=os.environ.get("BENCH_STATS_ACCUM", "outside"),
     )
 
     batch_dict = synthetic_pretrain_batch(batch * accum)

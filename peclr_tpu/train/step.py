@@ -37,12 +37,16 @@ from peclr_tpu.train.state import TrainState
 #: scheduler measured 3357 -> 3367 img/s on the RN50 PeCLR recipe (v5e,
 #: BENCHLOG.md round 2) — small but consistently the best config — and
 #: letting it budget 100% of shared memory measured 3894 -> 3904 (round 3);
-#: scoped-vmem raises HURT (-10/-18%) and are not used.  The axon tunnel
-#: rejects TPU flags in XLA_FLAGS but honors per-compile options, so they
-#: are applied via AOT lower/compile.
+#: scoped-vmem raises HURT (-10/-18%) and are not used.  Forcing the memory
+#: prefetcher's interval picker to a 1 MiB window measured +26 img/s on the
+#: recipe (3905 -> 3931, round 4; 64 KiB was neutral, copy-fusion and
+#: licm-inflation were not wins).  The axon tunnel rejects TPU flags in
+#: XLA_FLAGS but honors per-compile options, so they are applied via AOT
+#: lower/compile.
 DEFAULT_TPU_COMPILER_OPTIONS = {
     "xla_tpu_enable_latency_hiding_scheduler": True,
     "xla_tpu_scheduler_percent_shared_memory_limit": 100,
+    "xla_tpu_prefetch_interval_picker_size_override": 1048576,
 }
 
 
@@ -108,6 +112,9 @@ def make_peclr_train_step(
     with_stats: bool = True,
     donate: bool = True,
     compiler_options="auto",
+    stats_accum: str = "outside",
+    bn_momentum: float = 0.9,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -116,6 +123,27 @@ def make_peclr_train_step(
 
     compiler_options: dict of XLA options, None, or "auto"
     (DEFAULT_TPU_COMPILER_OPTIONS on TPU backends, nothing on CPU).
+
+    stats_accum: how BN running stats cross the accum loop.
+      "outside" (default): exploit that train-mode BN never READS its
+        running stats (flax normalizes by batch statistics; the running
+        buffers are write-only) — each microbatch applies with a ZERO
+        running-stat tree, so its mutated output is exactly
+        (1-m)*batch_stat, and the chain r_k = m*r_{k-1} + (1-m)*s_k is
+        replayed as one packed recurrence T_k = m*T_{k-1} + p_k with the
+        closed form r_A = m^A*r_0 + T_A applied once after the scan.
+        Equal to the sequential chain in exact arithmetic; removes the
+        per-iteration stats unpack (a ~106-slice VMEM<->HBM staging swarm
+        — BENCHLOG round 4) and the old-stats reads from the loop body.
+      "carry": thread the packed stats through the scan carry (round-3
+        behavior, kept for A/B).
+
+    bn_momentum: the models' shared flax BatchNorm momentum (torch 0.1 ==
+    flax 0.9 — models/resnet.py:63, models/heads.py:32,127); used only by
+    stats_accum="outside" to replay the chain.
+
+    jit=False returns the raw python step (for callers that need their own
+    jit wrapper, e.g. custom input layouts/shardings at lowering time).
     """
     if augmentations is None:
         augmentations = flags.active()
@@ -192,18 +220,37 @@ def make_peclr_train_step(
         small_zero = jnp.zeros(
             (sum(p_leaves[i].size for i in p_small),), jnp.float32
         ) if p_small else jnp.zeros((0,), jnp.float32)
-        stats_carry0 = (
-            [s_leaves[i] for i in s_big], _pack(s_leaves, s_small)
-        )
+        outside = stats_accum == "outside"
+        if outside:
+            # write-only running stats: apply every microbatch with ZEROS
+            # (loop-invariant), accumulate the (1-m)-scaled batch stats the
+            # mutation returns, and replay the momentum chain in closed
+            # form after the scan
+            zero_stats = jax.tree_util.tree_map(
+                jnp.zeros_like, state.batch_stats
+            )
+            stats_carry0 = (
+                [jnp.zeros_like(s_leaves[i]) for i in s_big],
+                jnp.zeros((sum(s_leaves[i].size for i in s_small),),
+                          jnp.float32)
+                if s_small else jnp.zeros((0,), jnp.float32),
+            )
+        else:
+            stats_carry0 = (
+                [s_leaves[i] for i in s_big], _pack(s_leaves, s_small)
+            )
 
         def body(carry, xs):
             big_acc, small_acc, loss_acc, (stats_big, stats_flat) = carry
             mb_images, mb_joints, mb_key = xs
-            st_leaves = list(s_leaves)
-            for j, i in enumerate(s_big):
-                st_leaves[i] = stats_big[j]
-            st_leaves = _unpack(stats_flat, st_leaves, s_small)
-            batch_stats = jax.tree_util.tree_unflatten(s_def, st_leaves)
+            if outside:
+                batch_stats = zero_stats
+            else:
+                st_leaves = list(s_leaves)
+                for j, i in enumerate(s_big):
+                    st_leaves[i] = stats_big[j]
+                st_leaves = _unpack(stats_flat, st_leaves, s_small)
+                batch_stats = jax.tree_util.tree_unflatten(s_def, st_leaves)
             (loss, (new_stats, stats)), grads = grad_fn(
                 state.params, batch_stats, mb_images, mb_joints, mb_key
             )
@@ -211,9 +258,16 @@ def make_peclr_train_step(
             big_acc = [a + g_leaves[i] for a, i in zip(big_acc, p_big)]
             small_acc = small_acc + _pack(g_leaves, p_small)
             ns_leaves = jax.tree_util.tree_flatten(new_stats)[0]
-            stats_carry = (
-                [ns_leaves[i] for i in s_big], _pack(ns_leaves, s_small)
-            )
+            if outside:
+                m = bn_momentum
+                stats_carry = (
+                    [m * t + ns_leaves[i] for t, i in zip(stats_big, s_big)],
+                    m * stats_flat + _pack(ns_leaves, s_small),
+                )
+            else:
+                stats_carry = (
+                    [ns_leaves[i] for i in s_big], _pack(ns_leaves, s_small)
+                )
             return (big_acc, small_acc, loss_acc + loss, stats_carry), stats
 
         (big_acc, small_acc, loss_sum, (stats_big, stats_flat)), stats_seq = (
@@ -230,8 +284,15 @@ def make_peclr_train_step(
         g_leaves = _unpack(small_acc, g_leaves, p_small)
         grads = jax.tree_util.tree_unflatten(p_def, g_leaves)
         st_leaves = list(s_leaves)
-        for j, i in enumerate(s_big):
-            st_leaves[i] = stats_big[j]
+        if outside:
+            # r_A = m^A r_0 + sum_i m^(A-1-i) * (1-m) s_i  (the scan's T)
+            m_pow = jnp.float32(bn_momentum ** accum)
+            for j, i in enumerate(s_big):
+                st_leaves[i] = m_pow * s_leaves[i] + stats_big[j]
+            stats_flat = m_pow * _pack(s_leaves, s_small) + stats_flat
+        else:
+            for j, i in enumerate(s_big):
+                st_leaves[i] = stats_big[j]
         st_leaves = _unpack(stats_flat, st_leaves, s_small)
         batch_stats = jax.tree_util.tree_unflatten(s_def, st_leaves)
         grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
@@ -252,6 +313,8 @@ def make_peclr_train_step(
         )
         return new_state, metrics
 
+    if not jit:
+        return train_step
     return jit_with_options(
         train_step,
         (0,) if donate else (),

@@ -191,3 +191,43 @@ class TestRound3Trace:
         must stay collapsed: loop fusion total < 80 ms/step now."""
         loop = sum(o["t_ms"] for o in ops3 if o["category"] == "loop fusion")
         assert loop < 80.0, loop
+
+
+class TestPallasParity:
+    """On-chip Pallas<->XLA numeric parity artifact (VERDICT r3 #2;
+    scripts/pallas_parity.py on the real v5e).  The interpret=True CPU
+    tests cannot catch a Mosaic miscompile; this artifact pins the REAL
+    kernel compilations against the XLA shifter at recipe geometry."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "pallas_parity.json",
+    )
+
+    @pytest.fixture(scope="class")
+    def pp(self):
+        if not os.path.exists(self.ARTIFACT):
+            pytest.fail("pallas_parity.json missing — run "
+                        "scripts/pallas_parity.py on the TPU")
+        with open(self.ARTIFACT) as f:
+            return json.load(f)
+
+    def test_ran_on_tpu_and_all_cases_pass(self, pp):
+        assert pp["backend"] == "tpu"
+        assert pp["ok"], {k: v for k, v in pp["cases"].items()
+                          if not v["pass"]}
+
+    def test_integer_taps_exact(self, pp):
+        # uint8 raw mode must match the numpy oracle bit-for-bit
+        assert pp["cases"]["grouped_raw[uint8] vs numpy oracle"][
+            "max_abs"] == 0.0
+
+    def test_full_warp_error_is_rounding_scale(self, pp):
+        # every enableable variant vs the XLA path: <= 2.5 intensity LSBs
+        # on 0..255 data (two bf16 roundings at ~255 + tent-weight
+        # rounding), with sub-LSB p999 — rounding-order divergence, not a
+        # miscompile
+        for name, c in pp["cases"].items():
+            if name.startswith("warp[") and "vs xla" in name:
+                assert c["max_abs"] <= 2.5, (name, c)
+                assert c["p999"] <= 2.0, (name, c)

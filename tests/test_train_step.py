@@ -201,6 +201,68 @@ class TestOptimizer:
 
 
 class TestGradAccumSemantics:
+    def test_stats_accum_outside_matches_carry(self):
+        """stats_accum="outside" (zero-stat applies + closed-form momentum
+        replay, the default — BENCHLOG round 4) must reproduce the "carry"
+        chain exactly: bit-equal losses/params/opt state (the grads path is
+        untouched) and BN running stats to f32 rounding of the reordered
+        momentum recurrence."""
+        from peclr_tpu.config.defaults import AugmentationParams
+        from peclr_tpu.models import PeCLRModel
+
+        model = PeCLRModel(resnet_size="18", dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        # seed nontrivial running stats so the m^A * r_0 term is exercised
+        variables = {
+            "params": variables["params"],
+            "batch_stats": jax.tree_util.tree_map(
+                lambda s: s + 0.25, variables["batch_stats"]
+            ),
+        }
+        import optax
+
+        tx = optax.adam(1e-3)
+        state = TrainState.create(variables, tx)
+        flags = peclr_pretrain_flags()
+        aug = AugmentationParams(resize_shape=(32, 32))
+        rng = np.random.default_rng(7)
+        batch_dict = {
+            "image": jnp.asarray(rng.integers(
+                0, 256, (16, 64, 64, 3), dtype=np.uint8)),
+            "joints25d": jnp.asarray(
+                rng.uniform(16, 48, (16, 21, 3)).astype(np.float32)),
+        }
+        key = jax.random.PRNGKey(11)
+        outs = {}
+        for mode in ("carry", "outside"):
+            step = make_peclr_train_step(
+                model, tx, flags, aug, accum=4, donate=False,
+                with_stats=False, stats_accum=mode,
+            )
+            s2, m = step(state, batch_dict, key)
+            outs[mode] = (s2, float(m["loss"]))
+        assert outs["carry"][1] == outs["outside"][1]
+        for getter, exact in ((lambda s: s.params, True),
+                              (lambda s: s.opt_state, True),
+                              (lambda s: s.batch_stats, False)):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(getter(outs["carry"][0])),
+                jax.tree_util.tree_leaves(getter(outs["outside"][0])),
+            ):
+                a = np.asarray(a, np.float64)
+                b = np.asarray(b, np.float64)
+                if exact:
+                    assert np.array_equal(a, b)
+                else:
+                    # the replayed chain reorders the momentum recurrence:
+                    # f32 rounding differs by ~2e-5 of the leaf's scale
+                    # (per-ENTRY relative error is meaningless for
+                    # near-zero variance entries)
+                    rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
+                    assert rel < 1e-4, rel
+
     def test_accum_equals_mean_of_microbatch_grads(self, monkeypatch):
         """One accum=2 step must apply the MEAN of the two microbatch
         gradients (reference accumulate_grad_batches semantics).

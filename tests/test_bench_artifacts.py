@@ -231,3 +231,35 @@ class TestPallasParity:
             if name.startswith("warp[") and "vs xla" in name:
                 assert c["max_abs"] <= 2.5, (name, c)
                 assert c["p999"] <= 2.0, (name, c)
+
+
+class TestTransferOverlap:
+    """Transfer-overlap dissection artifact (VERDICT r3 #8;
+    scripts/bench_transfer_overlap.py on the tunneled v5e).  Pins the
+    measured conclusion: the tunnel SERIALIZES transfer RPCs, so threaded
+    puts lose and compute does not overlap transfer — the 0.66 host-pipeline
+    overlap efficiency is a link property, not a pipeline bug."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "transfer_overlap.json",
+    )
+
+    @pytest.fixture(scope="class")
+    def ov(self):
+        if not os.path.exists(self.ARTIFACT):
+            pytest.fail("transfer_overlap.json missing — run "
+                        "scripts/bench_transfer_overlap.py on the TPU")
+        with open(self.ARTIFACT) as f:
+            return json.load(f)
+
+    def test_parallel_puts_do_not_help(self, ov):
+        # >1 would mean threading transfers helps and the host pipeline
+        # should be restructured; measured: the tunnel serializes RPCs
+        assert ov["verdict"]["parallel_put_speedup"] < 1.05
+
+    def test_chunked_sequential_put_is_best_and_modest(self, ov):
+        c = ov["cases"]
+        assert c["put_chunk_seq"]["s"] <= c["put_idle"]["s"] * 1.02
+        # the best strategy buys <25%: no large pipeline win was left unclaimed
+        assert c["put_chunk_seq"]["s"] > c["put_idle"]["s"] * 0.75

@@ -3,15 +3,24 @@
 scripts/accuracy_proxy.py --probe-every N --curve-out ... records, for
 PeCLR and SimCLR pretraining at the published recipe shape (microbatch 128
 x accum 16, LARS, 128px views — reference README.md:49-57), a frozen-encoder
-linear-probe EPE curve starting from the shared random-init baseline.
+linear-probe EPE curve starting from the shared random-init baseline, for
+both absolute 2D keypoints and wrist-relative pose (probe_epe_rel_px).
 
 These artifacts are the strongest in-environment accuracy-parity evidence
 (VERDICT r2 item 2): the curves must show that contrastive pretraining at
 the recipe shape makes hand pose monotonically more linearly decodable, on
-both published backbones (RN50 and RN152).  The PeCLR-vs-SimCLR ordering
-claim itself lives in the 64px probe regime (tests/test_accuracy_proxy.py);
-at recipe shape the two land within probe noise and the curve SHAPE is the
-regression target.
+both published backbones (RN50 and RN152).
+
+The bounds below are set by the MULTI-SEED spread (RN50 seeds 5/6/7 +
+RN152 seed 5, committed under bench_artifacts/), not tuned to any single
+run (VERDICT r3 item 4):
+  * worst point-to-point upward excursion after the peak: 1.0247
+    (seed-5 SimCLR wrist-relative) -> 3% per-point tolerance;
+  * the transient above-baseline excursion never extends past the FIRST
+    probe point (RN152 both objectives, seed-5 relative curves) ->
+    peak index <= 1;
+  * final/baseline <= 0.819 and final/peak <= 0.687 across all runs ->
+    0.85 / 0.75 bounds.
 """
 
 import json
@@ -20,7 +29,14 @@ import os
 import pytest
 
 _DIR = os.path.join(os.path.dirname(__file__), "..", "bench_artifacts")
-BACKBONES = ["rn50", "rn152"]
+# (artifact name, resnet size) — rn50 has three seeds, rn152 one.
+CURVES = [
+    ("rn50", "50"),
+    ("rn50_seed6", "50"),
+    ("rn50_seed7", "50"),
+    ("rn152", "152"),
+]
+RN50_SEED_ARTIFACTS = [name for name, size in CURVES if size == "50"]
 
 
 def _load(name):
@@ -32,27 +48,28 @@ def _load(name):
         return json.load(fh)
 
 
-@pytest.mark.parametrize("name", BACKBONES)
-def test_recipe_shape_config(name):
+@pytest.mark.parametrize("name,size", CURVES)
+def test_recipe_shape_config(name, size):
     d = _load(name)
     cfg = d["config"]
     assert cfg["batch"] == 128 and cfg["accum"] == 16
     assert cfg["optimizer"] == "LARS" and cfg["view"] == 128
-    assert cfg["resnet"] == name.removeprefix("rn")
+    assert cfg["resnet"] == size
     for kind in ("peclr", "simclr"):
         assert len(d["curves"][kind]["probe"]) >= 5
 
 
-@pytest.mark.parametrize("name", BACKBONES)
+@pytest.mark.parametrize("name,size", CURVES)
 @pytest.mark.parametrize("kind", ["peclr", "simclr"])
-def test_probe_epe_improves_monotonically(name, kind):
+def test_probe_epe_improves_monotonically(name, size, kind):
     d = _load(name)
     probe = d["curves"][kind]["probe"]
     epes = [p["probe_epe_px"] for p in probe]
-    # The RN152 runs show a transient above-baseline excursion at the FIRST
-    # probe point (LARS warmup at high effective lr scrambles the random
-    # features before training pulls them back); past it the curve must
-    # descend monotonically up to 3% probe noise per point.
+    # A transient above-baseline excursion at the FIRST probe point (LARS
+    # warmup at high effective lr scrambles the random features before
+    # training pulls them back) is within the observed multi-seed spread;
+    # past it the curve must descend monotonically up to 3% probe noise per
+    # point (max observed excursion 2.47% — module docstring).
     peak_i = max(range(len(epes)), key=lambda i: epes[i])
     assert peak_i <= 1, (name, kind, epes)
     for prev, cur in zip(epes[peak_i:], epes[peak_i + 1:]):
@@ -62,8 +79,8 @@ def test_probe_epe_improves_monotonically(name, kind):
     assert epes[-1] < 0.75 * max(epes[1:]), (name, kind, epes)
 
 
-@pytest.mark.parametrize("name", BACKBONES)
-def test_shared_random_init_baseline(name):
+@pytest.mark.parametrize("name,size", CURVES)
+def test_shared_random_init_baseline(name, size):
     d = _load(name)
     p0 = d["curves"]["peclr"]["probe"][0]
     s0 = d["curves"]["simclr"]["probe"][0]
@@ -72,9 +89,40 @@ def test_shared_random_init_baseline(name):
     assert abs(p0["probe_epe_px"] - s0["probe_epe_px"]) < 1e-6
 
 
-@pytest.mark.parametrize("name", BACKBONES)
+@pytest.mark.parametrize("name,size", CURVES)
 @pytest.mark.parametrize("kind", ["peclr", "simclr"])
-def test_contrastive_loss_decreases(name, kind):
+def test_contrastive_loss_decreases(name, size, kind):
     d = _load(name)
     loss = d["curves"][kind]["loss"]
     assert loss[-1] < loss[0] - 0.5, (name, kind, loss[0], loss[-1])
+
+
+def test_recipe_shape_ordering_multiseed():
+    """The recipe-shape PeCLR-vs-SimCLR ordering, settled over 3 seeds
+    (VERDICT r3 item 4).
+
+    On ABSOLUTE keypoints the two objectives land within probe noise of
+    each other: per-seed ratios 1.031 / 0.997 / 0.938 (seeds 5/6/7) — the
+    round-3 single-seed "SimCLR wins" reading was noise, and a systematic
+    inversion in either direction would move the mean out of the band.
+
+    On WRIST-RELATIVE pose — the component PeCLR's equivariant correction
+    is built to preserve (hybrid2_model.py:27-90 normalizes per-view and
+    inverts the geometric transform, so relative structure, not absolute
+    frame placement, is what the loss aligns) — PeCLR wins on every seed:
+    0.918 / 0.990 / 0.884, mean 0.931.
+    """
+    abs_ratios, rel_ratios = [], []
+    for name in RN50_SEED_ARTIFACTS:
+        d = _load(name)
+        p = d["curves"]["peclr"]["probe"][-1]
+        s = d["curves"]["simclr"]["probe"][-1]
+        abs_ratios.append(p["probe_epe_px"] / s["probe_epe_px"])
+        rel_ratios.append(p["probe_epe_rel_px"] / s["probe_epe_rel_px"])
+    mean_abs = sum(abs_ratios) / len(abs_ratios)
+    mean_rel = sum(rel_ratios) / len(rel_ratios)
+    # absolute: statistical tie (no systematic inversion either way)
+    assert 0.92 < mean_abs < 1.06, abs_ratios
+    # wrist-relative: PeCLR systematically better
+    assert mean_rel < 0.98, rel_ratios
+    assert sum(r < 1.0 for r in rel_ratios) >= 2, rel_ratios

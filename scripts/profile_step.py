@@ -17,6 +17,7 @@ state -> state (or output -> input) across iterations.
 """
 
 import argparse
+import contextlib
 import time
 
 import jax
@@ -37,16 +38,24 @@ from peclr_tpu.train.recipe import (
 from peclr_tpu.train.step import make_peclr_train_step
 
 
-def chain_time(step, state, batch, key, iters):
-    """Time `iters` state-chained steps (compile + warmup excluded)."""
+def chain_time(step, state, batch, key, iters, trace=None):
+    """Time `iters` state-chained steps (compile + warmup excluded).
+
+    When `trace` is given the profiler window opens AFTER warmup so it holds
+    exactly `iters` steps — the queue-3 traces wrapped warmup too, which
+    inflated every TRACE_STEPS-normalized per-step figure by (iters+2)/iters
+    (corrected numbers in BENCHLOG round 4)."""
     s, _ = step(state, batch, jax.random.fold_in(key, 0))
     s, m = step(s, batch, jax.random.fold_in(key, 1))
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        s, m = step(s, batch, jax.random.fold_in(key, 2 + i))
-    jax.block_until_ready(m["loss"])
-    return (time.perf_counter() - t0) / iters
+    ctx = jax.profiler.trace(trace) if trace else contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            s, m = step(s, batch, jax.random.fold_in(key, 2 + i))
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+    return dt / iters
 
 
 def build(batch, accum, optimizer="LARS", with_stats=False, flags=None,
@@ -87,12 +96,9 @@ def run_finetune(args):
     )
     batch = synthetic_supervised_batch(args.batch)
     key = jax.random.PRNGKey(0)
+    dt = chain_time(step, state, batch, key, args.iters, trace=args.trace)
     if args.trace:
-        with jax.profiler.trace(args.trace):
-            dt = chain_time(step, state, batch, key, args.iters)
         print(f"xplane trace -> {args.trace}")
-    else:
-        dt = chain_time(step, state, batch, key, args.iters)
     print(f"finetune {dt * 1e3:8.2f} ms/step   {args.batch / dt:8.0f} img/s")
 
 
@@ -202,12 +208,10 @@ def main():
         else:
             state, step = build(args.batch, args.accum, resnet=args.resnet,
                                 **overrides)
-            if args.trace and name == "full":
-                with jax.profiler.trace(args.trace):
-                    dt = chain_time(step, state, batch, key, args.iters)
+            trace = args.trace if name == "full" else None
+            dt = chain_time(step, state, batch, key, args.iters, trace=trace)
+            if trace:
                 print(f"xplane trace -> {args.trace}")
-            else:
-                dt = chain_time(step, state, batch, key, args.iters)
         print(f"{name:8s} {dt * 1e3:8.2f} ms/step   {n / dt:8.0f} img/s")
 
 

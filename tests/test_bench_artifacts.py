@@ -193,6 +193,120 @@ class TestRound3Trace:
         assert loop < 80.0, loop
 
 
+def _load_trace(name, steps):
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts", name
+    )
+    with gzip.open(path, "rt") as f:
+        d = json.load(f)
+    cols = [c["id"] for c in d["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
+
+    def val(row, col):
+        v = row["c"][idx[col]]
+        return v.get("v") if isinstance(v, dict) else v
+
+    return [
+        {
+            "t_ms": float(val(r, "total_self_time") or 0.0) / 1e3 / steps,
+            "bw": float(val(r, "measured_memory_bw") or 0.0),
+            "bound": val(r, "bound_by"),
+            "category": val(r, "category"),
+            "occ": float(val(r, "occurrences") or 0.0),
+        }
+        for r in d["rows"]
+    ]
+
+
+def _floor(ops):
+    return sum(
+        o["t_ms"] * min(o["bw"] / HBM_PEAK_GBPS, 1.0)
+        if (o["bound"] == "HBM" and o["bw"]) else o["t_ms"]
+        for o in ops
+    )
+
+
+class TestRound4Traces:
+    """Round-4 refresh traces for all four phases (VERDICT r3 #5).
+
+    The queue-3 capture opened the profiler window around warmup, so the
+    window holds iters+2 steps for the pretrain/finetune phases; the step
+    counts here are occurrence-derived (max occurrences / accum for the
+    accum phases) and each fixture asserts that derivation against the
+    trace itself.  BENCHLOG round 4 uses these corrected numbers."""
+
+    # name, window steps, accum multiplier expected in occurrences
+    SPECS = {
+        "rn50": ("hlo_stats_r4.json.gz", 8, 16),
+        "rn152": ("hlo_stats_r152_r4.json.gz", 6, 16),
+        "finetune": ("hlo_stats_ft_r4.json.gz", 18, 1),
+        "pred": ("hlo_stats_pred_r4.json.gz", 16, 1),
+    }
+
+    @pytest.fixture(scope="class")
+    def traces(self):
+        out = {}
+        for key, (name, steps, accum) in self.SPECS.items():
+            ops = _load_trace(name, steps)
+            assert max(o["occ"] for o in ops) == steps * accum, (key, steps)
+            out[key] = ops
+        return out
+
+    def test_rn50_busy_and_floor(self, traces):
+        busy, floor = sum(o["t_ms"] for o in traces["rn50"]), _floor(
+            traces["rn50"])
+        assert abs(busy - 516.6) < 2.0, busy   # BENCHLOG r4 table
+        assert abs(floor - 460.5) < 2.0, floor  # 4,447 img/s ceiling
+        assert floor < 2048 / 4000 * 1e3  # target remains inside envelope
+
+    def test_rn152_busy_and_floor(self, traces):
+        busy, floor = sum(o["t_ms"] for o in traces["rn152"]), _floor(
+            traces["rn152"])
+        assert abs(busy - 980.9) < 4.0, busy
+        assert abs(floor - 875.9) < 4.0, floor  # 2,338 img/s ceiling
+
+    def test_finetune_busy_and_floor(self, traces):
+        busy, floor = sum(o["t_ms"] for o in traces["finetune"]), _floor(
+            traces["finetune"])
+        assert abs(busy - 48.9) < 0.5, busy
+        assert abs(floor - 43.9) < 0.5, floor  # 2,916 img/s ceiling
+
+    def test_pred_device_busy_is_under_half_the_wall(self, traces):
+        # BENCHLOG: two-pass inference is tunnel-dispatch-bound, not
+        # device-bound — busy 23.0 ms of a 47.9 ms wall step
+        busy = sum(o["t_ms"] for o in traces["pred"])
+        assert abs(busy - 23.0) < 0.5, busy
+        assert _floor(traces["pred"]) > busy * 0.9  # already near its floor
+
+    def test_all_phases_conv_dominated(self, traces):
+        for key, ops in traces.items():
+            conv = sum(o["t_ms"] for o in ops
+                       if o["category"] == "convolution fusion")
+            busy = sum(o["t_ms"] for o in ops)
+            assert conv / busy > 0.65, (key, conv / busy)
+
+
+class TestAutoLayout:
+    """Auto input-layout A/B artifact (scripts/bench_auto_layout.py): XLA's
+    preferred host-batch layouts LOSE to the default row-major inputs
+    (BENCHLOG round 4) — pins the measured rejection so the lever is not
+    blindly retried."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "auto_layout.json",
+    )
+
+    def test_rejection_recorded(self):
+        if not os.path.exists(self.ARTIFACT):
+            pytest.fail("auto_layout.json missing — run "
+                        "scripts/bench_auto_layout.py on the TPU")
+        with open(self.ARTIFACT) as f:
+            al = json.load(f)
+        assert al["speedup"] < 1.005, al  # no win was left unclaimed
+        assert al["default"] > 3500, al   # measured on the real recipe
+
+
 class TestPallasParity:
     """On-chip Pallas<->XLA numeric parity artifact (VERDICT r3 #2;
     scripts/pallas_parity.py on the real v5e).  The interpret=True CPU

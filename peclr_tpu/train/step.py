@@ -21,6 +21,7 @@ The whole step is a single jit; under a mesh the batch axis is sharded over
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from typing import Callable, Dict, Optional, Sequence
 
@@ -180,8 +181,14 @@ def make_peclr_train_step(
     #: pairs per step (BN scales/biases/stats + their grads threading the
     #: lax.scan carry) costing 22.6 ms/step in DMA-latency stalls; packing
     #: them into a single buffer replaces the swarm with one fused
-    #: concat/slice per microbatch (see BENCHLOG round 3).
-    SMALL_LEAF_ELEMS = 8192
+    #: concat/slice per microbatch (see BENCHLOG round 3).  Env-overridable
+    #: (PECLR_PACK_SMALL_ELEMS; 0 = per-leaf carry) so the threshold can be
+    #: re-A/B'd on-chip as the scheduler defaults evolve — the r4 trace
+    #: still bills ~19 ms/step (RN50) / ~79 ms (RN152) of f32[C] eviction
+    #: stalls around the pack concat and the BN fwd->bwd stat staging.
+    SMALL_LEAF_ELEMS = int(
+        os.environ.get("PECLR_PACK_SMALL_ELEMS", "8192")
+    )
 
     def _split_small(tree):
         leaves, treedef = jax.tree_util.tree_flatten(tree)

@@ -263,6 +263,40 @@ class TestGradAccumSemantics:
                     rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
                     assert rel < 1e-4, rel
 
+    def test_pack_threshold_override_is_equivalent(self, monkeypatch):
+        """PECLR_PACK_SMALL_ELEMS only relocates small leaves between the
+        packed flat carry and the per-leaf carry (a data-movement choice,
+        re-A/B'd on-chip as scheduler defaults evolve — BENCHLOG round 4);
+        0 (per-leaf) and the 8192 default must produce the same step."""
+        _, state, _, batch = tiny_setup(accum=2, batch=2)
+        model = PeCLRModel(resnet_size="18", dtype=jnp.float32)
+        flags = peclr_pretrain_flags()
+        aug = AugmentationParams(resize_shape=(32, 32))
+        import optax
+
+        tx = optax.adam(1e-3)
+        state = TrainState.create(
+            {"params": state.params, "batch_stats": state.batch_stats}, tx
+        )
+        key = jax.random.PRNGKey(3)
+        outs = {}
+        for pack in ("0", "8192"):
+            monkeypatch.setenv("PECLR_PACK_SMALL_ELEMS", pack)
+            step = make_peclr_train_step(
+                model, tx, flags, aug, accum=2, donate=False,
+                with_stats=False,
+            )
+            s2, m = step(state, batch, key)
+            outs[pack] = (s2, float(m["loss"]))
+        assert outs["0"][1] == outs["8192"][1]
+        for a, b in zip(
+            jax.tree_util.tree_leaves(outs["0"][0].params),
+            jax.tree_util.tree_leaves(outs["8192"][0].params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-6
+            )
+
     def test_accum_equals_mean_of_microbatch_grads(self, monkeypatch):
         """One accum=2 step must apply the MEAN of the two microbatch
         gradients (reference accumulate_grad_batches semantics).

@@ -18,11 +18,14 @@ TPU notes:
 
 from __future__ import annotations
 
+import os
+
 from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from peclr_tpu.ops.pooling import max_pool_3x3s2p1
 
@@ -52,6 +55,49 @@ def _conv(features, kernel, stride, name, dtype):
         dtype=dtype,
         param_dtype=jnp.float32,
         name=name,
+    )
+
+
+def remat_mode() -> str:
+    """Selective-rematerialization mode for the residual blocks (PECLR_REMAT).
+
+    The fwd->bwd boundary of a BatchNorm block saves tiny f32[C] mean/var
+    vectors per layer; on the v5e recipe the r4 trace bills the resulting
+    VMEM<->HBM eviction swarm at ~19 ms/step (RN50, 53 BN layers) / ~79 ms
+    (RN152, 151) of unhidden DMA latency (BENCHLOG round 4).  Remat modes
+    trade those saves for recompute:
+
+      ""      — no remat (autodiff saves what it needs).  Default.
+      "bn"    — each residual block saves ONLY its conv outputs (tagged
+                'conv_out' below) + the block input; BN stat reduces,
+                normalizes and relus are recomputed in the backward pass,
+                so no f32[C] statistics cross the boundary.
+      "block" — full-block remat (nothing saved but the block input);
+                convs recompute too.  Expected FLOP-bound loss; kept for
+                the A/B record.
+    """
+    return os.environ.get("PECLR_REMAT", "")
+
+
+def maybe_remat(block_cls):
+    """Wrap a block class in lifted remat per remat_mode().
+
+    prevent_cse=False: the blocks run inside the grad-accumulation lax.scan
+    (train/step.py), where XLA's CSE cannot defeat remat and the barrier
+    would only block fusion.  static_argnums=(2,) marks `train` static
+    (flax counts the bound module as argument 0).
+    """
+    mode = remat_mode()
+    if not mode:
+        return block_cls
+    if mode == "bn":
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+    elif mode == "block":
+        policy = jax.checkpoint_policies.nothing_saveable
+    else:
+        raise ValueError(f"PECLR_REMAT={mode!r} (want '', 'bn' or 'block')")
+    return nn.remat(
+        block_cls, prevent_cse=False, policy=policy, static_argnums=(2,)
     )
 
 
@@ -118,14 +164,17 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         out = _conv(self.features, 3, self.stride, "conv1", self.dtype)(x)
+        out = checkpoint_name(out, "conv_out")
         out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         out = _conv(self.features, 3, 1, "conv2", self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = _bn(train, "bn2", self.dtype)(out)
         if self.downsample:
             identity = _conv(
                 self.features, 1, self.stride, "downsample_conv", self.dtype
             )(x)
+            identity = checkpoint_name(identity, "conv_out")
             identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(out + identity)
 
@@ -140,18 +189,22 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         out = _conv(self.features, 1, 1, "conv1", self.dtype)(x)
+        out = checkpoint_name(out, "conv_out")
         out = _bn(train, "bn1", self.dtype)(out)
         out = nn.relu(out)
         # torchvision places the stride on the 3x3 conv
         out = _conv(self.features, 3, self.stride, "conv2", self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = _bn(train, "bn2", self.dtype)(out)
         out = nn.relu(out)
         out = _conv(self.features * 4, 1, 1, "conv3", self.dtype)(out)
+        out = checkpoint_name(out, "conv_out")
         out = _bn(train, "bn3", self.dtype)(out)
         if self.downsample:
             identity = _conv(
                 self.features * 4, 1, self.stride, "downsample_conv", self.dtype
             )(x)
+            identity = checkpoint_name(identity, "conv_out")
             identity = _bn(train, "downsample_bn", self.dtype)(identity)
         return nn.relu(out + identity)
 
@@ -170,6 +223,7 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         block_kind, stages = RESNET_SPECS[self.size]
         block_cls = BasicBlock if block_kind == "basic" else Bottleneck
+        block_cls = maybe_remat(block_cls)
         expansion = 1 if block_kind == "basic" else 4
 
         x = x.astype(self.dtype)
@@ -194,7 +248,7 @@ class ResNetEncoder(nn.Module):
                     downsample=needs_down,
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x, train=train)
+                )(x, train)
                 in_features = features * expansion
 
         # global average pool == AdaptiveAvgPool2d((1,1))

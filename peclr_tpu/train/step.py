@@ -115,6 +115,7 @@ def make_peclr_train_step(
     compiler_options="auto",
     stats_accum: str = "outside",
     bn_momentum: float = 0.9,
+    accum_width: Optional[int] = None,
     jit: bool = True,
 ) -> Callable:
     """Build the jitted train step.
@@ -143,12 +144,38 @@ def make_peclr_train_step(
     flax 0.9 — models/resnet.py:63, models/heads.py:32,127); used only by
     stats_accum="outside" to replay the chain.
 
+    accum_width: how many INDEPENDENT microbatch gradient chains each scan
+      iteration computes (default env PECLR_ACCUM_WIDTH, 1).  Width W keeps
+      the microbatch size (and BN semantics) at mb images but gives the
+      latency-hiding scheduler W independent fwd+bwd DAGs per iteration to
+      interleave — one chain's DMA stalls (the serial BN-backward dx chain
+      runs at 631 of 820 GB/s; the BN f32[C] staging swarm is
+      latency-bound, BENCHLOG round 4) hide under another chain's compute.
+      Differs from lax.scan unroll (which chains the unrolled bodies
+      serially through the carry and measured HURT).  Gradient/loss/stat
+      accumulation order is IDENTICAL to width 1 — microbatch k's
+      contribution is added k-th either way — so results are bit-equal.
+      Requires stats_accum="outside" for W>1 (the "carry" layout would
+      serialize the chains through the full stats tree).
+
     jit=False returns the raw python step (for callers that need their own
     jit wrapper, e.g. custom input layouts/shardings at lowering time).
     """
     if augmentations is None:
         augmentations = flags.active()
     image_size = tuple(aug_params.resize_shape)
+
+    if accum_width is None:
+        accum_width = int(os.environ.get("PECLR_ACCUM_WIDTH", "1"))
+    if accum_width < 1 or accum % accum_width:
+        raise ValueError(
+            f"accum_width={accum_width} must divide accum={accum}"
+        )
+    if accum_width > 1 and stats_accum != "outside":
+        raise ValueError(
+            "accum_width > 1 requires stats_accum='outside' (the 'carry' "
+            "layout serializes the chains through the full stats tree)"
+        )
 
     def micro_loss(params, batch_stats, images, joints, key):
         v1, v2 = augment_pair(key, images, joints, flags, aug_params)
@@ -217,9 +244,14 @@ def make_peclr_train_step(
         joints = batch["joints25d"]
         n = images.shape[0]
         mb = n // accum
-        images = images.reshape(accum, mb, *images.shape[1:])
-        joints = joints.reshape(accum, mb, *joints.shape[1:])
+        outer = accum // accum_width
+        # (outer, width, mb, ...): iteration i computes width independent
+        # microbatch chains; microbatch k = i*width + w keeps the same data
+        # and rng key as the width-1 layout
+        images = images.reshape(outer, accum_width, mb, *images.shape[1:])
+        joints = joints.reshape(outer, accum_width, mb, *joints.shape[1:])
         keys = jax.random.split(key, accum)
+        keys = keys.reshape(outer, accum_width, *keys.shape[1:])
 
         p_leaves, p_def, p_small, p_big = _split_small(state.params)
         s_leaves, s_def, s_small, s_big = _split_small(state.batch_stats)
@@ -249,33 +281,43 @@ def make_peclr_train_step(
 
         def body(carry, xs):
             big_acc, small_acc, loss_acc, (stats_big, stats_flat) = carry
-            mb_images, mb_joints, mb_key = xs
+            mb_images, mb_joints, mb_keys = xs
             if outside:
                 batch_stats = zero_stats
             else:
+                # width == 1 here (validated above)
                 st_leaves = list(s_leaves)
                 for j, i in enumerate(s_big):
                     st_leaves[i] = stats_big[j]
                 st_leaves = _unpack(stats_flat, st_leaves, s_small)
                 batch_stats = jax.tree_util.tree_unflatten(s_def, st_leaves)
-            (loss, (new_stats, stats)), grads = grad_fn(
-                state.params, batch_stats, mb_images, mb_joints, mb_key
-            )
-            g_leaves = jax.tree_util.tree_flatten(grads)[0]
-            big_acc = [a + g_leaves[i] for a, i in zip(big_acc, p_big)]
-            small_acc = small_acc + _pack(g_leaves, p_small)
-            ns_leaves = jax.tree_util.tree_flatten(new_stats)[0]
-            if outside:
-                m = bn_momentum
-                stats_carry = (
-                    [m * t + ns_leaves[i] for t, i in zip(stats_big, s_big)],
-                    m * stats_flat + _pack(ns_leaves, s_small),
+            stats = {}
+            # width independent chains; only the accumulators (big grads,
+            # packed small grads, loss, packed f32[C] stats) link them, so
+            # the scheduler may interleave the heavy DAGs freely.  The
+            # accumulation order matches width 1 exactly (bit-equal).
+            for w in range(accum_width):
+                (loss, (new_stats, stats)), grads = grad_fn(
+                    state.params, batch_stats,
+                    mb_images[w], mb_joints[w], mb_keys[w],
                 )
-            else:
-                stats_carry = (
-                    [ns_leaves[i] for i in s_big], _pack(ns_leaves, s_small)
-                )
-            return (big_acc, small_acc, loss_acc + loss, stats_carry), stats
+                g_leaves = jax.tree_util.tree_flatten(grads)[0]
+                big_acc = [a + g_leaves[i] for a, i in zip(big_acc, p_big)]
+                small_acc = small_acc + _pack(g_leaves, p_small)
+                loss_acc = loss_acc + loss
+                ns_leaves = jax.tree_util.tree_flatten(new_stats)[0]
+                if outside:
+                    m = bn_momentum
+                    stats_big = [
+                        m * t + ns_leaves[i]
+                        for t, i in zip(stats_big, s_big)
+                    ]
+                    stats_flat = m * stats_flat + _pack(ns_leaves, s_small)
+                else:
+                    stats_big = [ns_leaves[i] for i in s_big]
+                    stats_flat = _pack(ns_leaves, s_small)
+            carry = (big_acc, small_acc, loss_acc, (stats_big, stats_flat))
+            return carry, stats
 
         (big_acc, small_acc, loss_sum, (stats_big, stats_flat)), stats_seq = (
             jax.lax.scan(

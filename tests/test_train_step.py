@@ -263,6 +263,51 @@ class TestGradAccumSemantics:
                     rel = np.abs(a - b).max() / max(np.abs(a).max(), 1e-6)
                     assert rel < 1e-4, rel
 
+    def test_accum_width_bit_equal(self, monkeypatch):
+        """accum_width computes W independent microbatch chains per scan
+        iteration (a scheduler-interleaving lever — BENCHLOG round 4) but
+        keeps the accumulation ORDER of width 1, so losses, params and
+        running stats must all be bit-equal."""
+        monkeypatch.setenv("PECLR_ACCUM_WIDTH", "1")
+        _, state, step1, batch = tiny_setup(accum=4, batch=2)
+        key = jax.random.PRNGKey(1)
+        s1, m1 = step1(state, batch, key)
+        s1, m1 = step1(s1, batch, key)
+
+        for width in ("2", "4"):
+            monkeypatch.setenv("PECLR_ACCUM_WIDTH", width)
+            _, state_w, step_w, batch_w = tiny_setup(accum=4, batch=2)
+            sw, mw = step_w(state_w, batch_w, key)
+            sw, mw = step_w(sw, batch_w, key)
+            assert float(mw["loss"]) == float(m1["loss"]), width
+            for getter in (lambda s: s.params, lambda s: s.batch_stats):
+                diffs = jax.tree_util.tree_map(
+                    lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                    getter(s1), getter(sw),
+                )
+                assert max(jax.tree_util.tree_leaves(diffs)) == 0.0, (
+                    width, diffs,
+                )
+
+    def test_accum_width_validation(self):
+        from peclr_tpu.config.defaults import AugmentationParams
+        from peclr_tpu.models import PeCLRModel
+        import optax
+
+        model = PeCLRModel(resnet_size="18", dtype=jnp.float32)
+        flags = peclr_pretrain_flags()
+        aug = AugmentationParams(resize_shape=(32, 32))
+        tx = optax.adam(1e-3)
+        with pytest.raises(ValueError, match="divide"):
+            make_peclr_train_step(
+                model, tx, flags, aug, accum=4, accum_width=3
+            )
+        with pytest.raises(ValueError, match="outside"):
+            make_peclr_train_step(
+                model, tx, flags, aug, accum=4, accum_width=2,
+                stats_accum="carry",
+            )
+
     def test_pack_threshold_override_is_equivalent(self, monkeypatch):
         """PECLR_PACK_SMALL_ELEMS only relocates small leaves between the
         packed flat carry and the per-leaf carry (a data-movement choice,

@@ -28,17 +28,24 @@ class InferenceSession:
         from peclr_tpu.ops.image import normalize_imagenet
 
         self.model = model
-        self.variables = variables
+        # keep the params resident on device; they are passed to the jit as
+        # an ARGUMENT (closure-capturing them would bake ~100 MB of weights
+        # into the lowered HLO as constants — slow everywhere, and a hard
+        # remote-compile failure on RPC-tunneled TPU backends)
+        self.variables = jax.device_put(variables)
         self.batch_size = batch_size
         self.image_size = image_size
 
         @jax.jit
-        def _predict(images_u8, K):
+        def _predict(variables, images_u8, K):
             x = normalize_imagenet(images_u8.astype(jnp.float32) / 255.0)
             return model.apply(variables, x, K=K, train=False)
 
-        self._predict = _predict
+        self._apply = _predict
         self._jnp = jnp
+
+    def _predict(self, images_u8, K):
+        return self._apply(self.variables, images_u8, K)
 
     @classmethod
     def from_checkpoint(cls, path: str, resnet_size: str = "50",

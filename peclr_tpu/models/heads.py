@@ -13,6 +13,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from peclr_tpu.models.resnet import BN_MOMENTUM
+
 
 class ProjectionHead(nn.Module):
     """2-layer projection MLP.  Param names lin1/bn/lin2 map onto the torch
@@ -29,7 +31,7 @@ class ProjectionHead(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
-            momentum=0.9,
+            momentum=BN_MOMENTUM,
             epsilon=1e-5,
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -124,7 +126,7 @@ class Denoiser(nn.Module):
 def _bn1d(train, name):
     return nn.BatchNorm(
         use_running_average=not train,
-        momentum=0.9,
+        momentum=BN_MOMENTUM,
         epsilon=1e-5,
         param_dtype=jnp.float32,
         name=name,

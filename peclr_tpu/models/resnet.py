@@ -101,12 +101,18 @@ def maybe_remat(block_cls):
     )
 
 
+#: Every BatchNorm in the package shares this flax momentum (torch 0.1).
+#: train/step.py's stats_accum="outside" replays the running-stat momentum
+#: chain in closed form with this value — keep them coupled via this name.
+BN_MOMENTUM = 0.9
+
+
 def _bn(train, name, dtype):
     """BatchNorm with torch semantics: eps=1e-5, running-stat momentum 0.1
     (flax momentum 0.9), f32 params/stats."""
     return nn.BatchNorm(
         use_running_average=not train,
-        momentum=0.9,
+        momentum=BN_MOMENTUM,
         epsilon=1e-5,
         dtype=dtype,
         param_dtype=jnp.float32,

@@ -358,7 +358,7 @@ def fused_shift_lerp_grouped(rows3, k, f, out_elems: int,
     with zeros outside the source.  out_dtype must be left at its default —
     the raw window's dtype IS the input dtype (that is the point of the
     mode), so a caller-supplied out_dtype would be silently ignored."""
-    if not lerp and out_dtype is not jnp.bfloat16:
+    if not lerp and jnp.dtype(out_dtype) != jnp.dtype(jnp.bfloat16):
         raise ValueError(
             "lerp=False emits the window in rows3.dtype; out_dtype is not "
             "honored — leave it at its default"

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from peclr_tpu.config.defaults import AugmentationFlags, AugmentationParams
 from peclr_tpu.losses.equivariance import peclr_projections
 from peclr_tpu.losses.ntxent import ntxent_loss
+from peclr_tpu.models.resnet import BN_MOMENTUM
 from peclr_tpu.ops.augment import augment_pair
 from peclr_tpu.train.state import TrainState
 
@@ -114,7 +115,7 @@ def make_peclr_train_step(
     donate: bool = True,
     compiler_options="auto",
     stats_accum: str = "outside",
-    bn_momentum: float = 0.9,
+    bn_momentum: float = BN_MOMENTUM,
     accum_width: Optional[int] = None,
     jit: bool = True,
 ) -> Callable:
@@ -141,8 +142,10 @@ def make_peclr_train_step(
         behavior, kept for A/B).
 
     bn_momentum: the models' shared flax BatchNorm momentum (torch 0.1 ==
-    flax 0.9 — models/resnet.py:63, models/heads.py:32,127); used only by
-    stats_accum="outside" to replay the chain.
+    flax 0.9), defaulted from models.resnet.BN_MOMENTUM — the single name
+    every BatchNorm in the package uses — and used only by
+    stats_accum="outside" to replay the chain.  Override it only for a
+    custom model whose BNs use a different momentum.
 
     accum_width: how many INDEPENDENT microbatch gradient chains each scan
       iteration computes (default env PECLR_ACCUM_WIDTH, 1).  Width W keeps
@@ -165,6 +168,10 @@ def make_peclr_train_step(
         augmentations = flags.active()
     image_size = tuple(aug_params.resize_shape)
 
+    if stats_accum not in ("outside", "carry"):
+        raise ValueError(
+            f"stats_accum={stats_accum!r} (want 'outside' or 'carry')"
+        )
     if accum_width is None:
         accum_width = int(os.environ.get("PECLR_ACCUM_WIDTH", "1"))
     if accum_width < 1 or accum % accum_width:

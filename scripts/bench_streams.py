@@ -12,7 +12,8 @@ state->state data-dependency chains inside ONE jitted fori_loop dispatch
   copy        y = x + 1                  (1R + 1W)
   add         y = x + r                  (2R + 1W)
   bn_res_relu y = relu(xhat*g + b + r)   (2R + 1W + channel vectors)
-  bn_stats    mean/var over (B,H,W)      (1R)
+  bn_stats    mean/var over (B,H,W)      (1R + 1W: the dependency chain
+                                          forces a full-tensor carry write)
 
 on the exact recipe fusion shape bf16[256,32,32,256], bf16 + f32.
 
@@ -121,14 +122,18 @@ def main():
             v = jnp.mean(
                 jnp.square(s.astype(jnp.float32)), axis=(0, 1, 2)
             ) - jnp.square(m)
-            # fold the stats back in so the chain depends on the reduce
+            # fold the stats back in so the chain depends on the reduce;
+            # the carry write this forces is a full-tensor 1W on top of the
+            # reduce's 1R, so the case moves 2x nbytes (a pure streaming
+            # reduce with no chain would be 1R, but the tunnel's timing
+            # rules require the chain)
             return s + (m[0] * 0 + v[0] * 0).astype(s.dtype)
 
         cases = {
             "copy_1r1w": (f_copy, (), 2 * nbytes),
             "add_2r1w": (f_add, (r,), 3 * nbytes),
             "bn_res_relu_2r1w": (f_bn_res_relu, (r, g, b), 3 * nbytes),
-            "stats_1r": (f_stats, (), nbytes),
+            "stats_1r1w": (f_stats, (), 2 * nbytes),
         }
         for name, (fn, extras, bytes_moved) in cases.items():
             sec = timed_chain(fn, x, extras, args.iters)

@@ -239,6 +239,23 @@ def main():
     imgs, joints = render_batch(rng, args.num_images)
     print(f"synthetic set: {imgs.shape}, probe train {args.probe_train}")
 
+    def write_curves(curves, complete):
+        """Dump the curve artifact NOW.  Called after every probe so a
+        killed/timed-out run still leaves its measurements on disk (a full
+        RN152 recipe-shape run is ~2 h of chip time); `complete` is False
+        until the final write — partial artifacts must not be committed."""
+        if not args.curve_out:
+            return
+        os.makedirs(os.path.dirname(args.curve_out) or ".", exist_ok=True)
+        with open(args.curve_out, "w") as fh:
+            json.dump({
+                "config": {k: v for k, v in vars(args).items()
+                           if k not in ("out", "curve_out")},
+                "backend": __import__("jax").default_backend(),
+                "complete": complete,
+                "curves": curves,
+            }, fh, indent=1)
+
     results = {}
     curves = {}
     for kind in ("peclr", "simclr"):
@@ -251,6 +268,7 @@ def main():
                           "probe_epe_rel_px": e["rel"]})
             print(f"  {kind} @ {step_i}: probe EPE {e['abs']:.2f} px "
                   f"(rel {e['rel']:.2f})")
+            write_curves({**curves, kind: {"probe": curve}}, complete=False)
 
         embed, losses, _state = pretrain(
             kind, imgs, joints, args.steps, args.batch, args.seed,
@@ -279,14 +297,7 @@ def main():
         print(f"  {kind}: probe EPE {epe:.2f} px")
 
     if args.curve_out:
-        os.makedirs(os.path.dirname(args.curve_out) or ".", exist_ok=True)
-        with open(args.curve_out, "w") as fh:
-            json.dump({
-                "config": {k: v for k, v in vars(args).items()
-                           if k not in ("out", "curve_out")},
-                "backend": __import__("jax").default_backend(),
-                "curves": curves,
-            }, fh, indent=1)
+        write_curves(curves, complete=True)
         print(f"wrote {args.curve_out}")
 
     record = {

@@ -45,7 +45,12 @@ def _load(name):
         pytest.fail(f"{path} missing — run scripts/accuracy_proxy.py "
                     "--probe-every 80 --curve-out ... (see BENCHLOG)")
     with open(path) as fh:
-        return json.load(fh)
+        d = json.load(fh)
+    # artifacts written before the run finished carry complete=False
+    # (accuracy_proxy.py writes incrementally to survive timeouts) and
+    # must never be committed as evidence
+    assert d.get("complete", True), f"{name}: partial artifact committed"
+    return d
 
 
 @pytest.mark.parametrize("name,size", CURVES)

@@ -377,3 +377,52 @@ class TestTransferOverlap:
         assert c["put_chunk_seq"]["s"] <= c["put_idle"]["s"] * 1.02
         # the best strategy buys <25%: no large pipeline win was left unclaimed
         assert c["put_chunk_seq"]["s"] > c["put_idle"]["s"] * 0.75
+
+
+class TestServingLatency:
+    """scripts/bench_serving.py on the real v5e: the InferenceSession's
+    synchronous request latency and its chained (data-dependency) device
+    bound per compiled batch size.  Measured (RN50, 128px): chained 1.46 ms
+    @ batch 1 (dispatch floor) -> 5.08 ms @ 128 = 25,200 img/s; sync p50
+    108 -> 274 ms, dominated by the tunnel RPC + image upload."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "serving_latency.json",
+    )
+
+    @pytest.fixture(scope="class")
+    def sl(self):
+        if not os.path.exists(self.ARTIFACT):
+            pytest.fail("serving_latency.json missing — run "
+                        "scripts/bench_serving.py on the TPU")
+        with open(self.ARTIFACT) as f:
+            return json.load(f)
+
+    def test_ran_on_tpu_and_covers_the_batch_sweep(self, sl):
+        assert sl["backend"] == "tpu"
+        assert [r["batch"] for r in sl["rows"]] == [1, 8, 32, 128]
+
+    def test_batching_amortizes(self, sl):
+        # throughput must rise with every batch-size step: small batches
+        # are dispatch-latency bound, big ones compute bound
+        rates = [r["chained_img_per_s"] for r in sl["rows"]]
+        assert all(b > a for a, b in zip(rates, rates[1:])), rates
+
+    def test_single_request_is_dispatch_bound(self, sl):
+        # batch-1 chained step is the per-dispatch floor, far under the
+        # batch-128 compute time: serving must batch
+        by = {r["batch"]: r for r in sl["rows"]}
+        assert by[1]["chained_ms"] < 10.0
+        assert by[128]["chained_ms"] > 2 * by[1]["chained_ms"]
+
+    def test_batch128_beats_the_two_pass_predictor_bound(self, sl):
+        # single-pass inference must beat the two-pass pred_fh device bound
+        # (5,845 img/s, TestRound4Traces) with clear margin
+        by = {r["batch"]: r for r in sl["rows"]}
+        assert by[128]["chained_img_per_s"] > 8000
+
+    def test_sync_latency_is_deployment_sane(self, sl):
+        for r in sl["rows"]:
+            assert r["sync_ms_p99"] >= r["sync_ms_p50"]
+            assert r["sync_ms_p50"] < 1000.0, r

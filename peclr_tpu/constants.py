@@ -27,6 +27,16 @@ SAVED_META_INFO_PATH = os.environ.get(
 
 STD_LOGGING_FORMAT = "%(name)s -%(levelname)s - %(message)s"
 
+#: Remote experiment-tracking credentials, same env-var contract as the
+#: reference (src/constants.py:24-29: COMET_API_KEY / COMET_PROJECT /
+#: COMET_WORKSPACE).  Consumed only when PECLR_TRACKER=comet opts in —
+#: tracking here is offline-first (JSONL), the remote mirrors it.
+COMET_KWARGS = {
+    "api_key": os.environ.get("COMET_API_KEY"),
+    "project_name": os.environ.get("COMET_PROJECT"),
+    "workspace": os.environ.get("COMET_WORKSPACE"),
+}
+
 #: FreiHAND geometry: 32,560 unique training images in 4 colorization
 #: versions (gs/hom/sample/auto), 3,960 evaluation images
 #: (testing/fh_utils.py:33-65)

@@ -277,13 +277,15 @@ class PeCLRTrainer:
                 **{f"{k}_1": np.asarray(v) for k, v in v1.params.items()},
                 **{f"{k}_2": np.asarray(v) for k, v in v2.params.items()},
             }
-            plot_peclr_pair(
+            path = plot_peclr_pair(
                 np.asarray(v1.images[0]),
                 np.asarray(v2.images[0]),
                 params,
                 out_dir=os.path.join(self.tracker.dir, "figures"),
                 name=f"pair_epoch{epoch}.png",
             )
+            if path is not None:
+                self.tracker.log_figure(path, name=f"pair_epoch{epoch}")
         except Exception as e:  # figures must never kill training
             self.log.warning(f"pair-figure logging failed: {e}")
 

@@ -225,6 +225,51 @@ class HostPipeline:
                 yield self._collate(samples)
 
 
+def _make_put_fn(mesh=None):
+    """Build the host->device put strategy for device_prefetch.
+
+    Default: one device_put per tree leaf.  PECLR_PUT_CHUNKS=N splits every
+    array along axis 0 into N per-chunk puts, and PECLR_PUT_THREADS=M>1
+    issues them from a thread pool.  Whether threading helps is a property
+    of the host->device LINK, not of the pipeline: on this rig's tunnel a
+    healthy link serializes RPCs (threads lose 0.74x) while a degraded link
+    pipelines per-chunk RPCs (8 threads win 1.46x) — both regimes measured
+    in bench_artifacts/transfer_overlap.json.  A PCIe-attached host DMAs
+    and needs neither; the knobs default off.
+    """
+    import os
+
+    import jax
+
+    if mesh is not None:
+        from peclr_tpu.parallel.multihost import global_batch_from_host_local
+
+        return lambda tree: global_batch_from_host_local(mesh, tree)
+
+    chunks = int(os.environ.get("PECLR_PUT_CHUNKS", "0"))
+    threads = int(os.environ.get("PECLR_PUT_THREADS", "1"))
+    if chunks <= 1:
+        return lambda tree: jax.tree_util.tree_map(jax.device_put, tree)
+
+    import jax.numpy as jnp
+
+    def put_leaf(x):
+        x = np.asarray(x)
+        if x.ndim == 0 or x.shape[0] < chunks:
+            return jax.device_put(x)
+        parts = np.array_split(x, chunks, axis=0)
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(threads) as ex:
+                moved = list(ex.map(jax.device_put, parts))
+        else:
+            moved = [jax.device_put(p) for p in parts]
+        return jnp.concatenate(moved, axis=0)
+
+    return lambda tree: jax.tree_util.tree_map(put_leaf, tree)
+
+
 def device_prefetch(batch_iter, mesh=None, buffer_size: int = 2):
     """Move host batches to device ahead of consumption (double-buffered).
 
@@ -232,15 +277,10 @@ def device_prefetch(batch_iter, mesh=None, buffer_size: int = 2):
     contributes its host-local rows and the assembled jax.Array is globally
     batch-sharded over the mesh's data axis (a plain sharded device_put at
     process_count()==1, `make_array_from_process_local_data` on pods).
+    Single-device put strategy (chunking/threading) is env-tunable — see
+    _make_put_fn.
     """
-    import jax
-
-    if mesh is not None:
-        from peclr_tpu.parallel.multihost import global_batch_from_host_local
-
-        put = lambda tree: global_batch_from_host_local(mesh, tree)
-    else:
-        put = lambda tree: jax.tree_util.tree_map(jax.device_put, tree)
+    put = _make_put_fn(mesh)
 
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _SENTINEL = object()

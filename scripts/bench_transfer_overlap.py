@@ -15,10 +15,13 @@ the mechanisms with direct timings:
                   bandwidth?
   put_chunk_seq   sequential chunked puts (chunking overhead alone)
 
-Writes bench_artifacts/transfer_overlap.json with the derived verdict:
-whether a chunked/async feeder could beat the current device_prefetch, or
-the serialization is in the tunnel itself (environment artifact — a real
-TPU host feeds over PCIe DMA).
+APPENDS a run to bench_artifacts/transfer_overlap.json (one entry per
+observed link regime — the verdict turned out to be link-state-dependent:
+on a healthy tunnel threaded puts lose 0.74x, on a degraded one they win
+1.46x; see BENCHLOG round 4).  Each run carries its own verdict: whether a
+chunked/async feeder beats the current device_prefetch, or the
+serialization is in the tunnel itself (environment artifact — a real TPU
+host feeds over PCIe DMA).
 """
 
 import argparse
@@ -30,6 +33,25 @@ import time
 import numpy as np
 
 
+def append_run(out_path, batch_mb, run):
+    """Append a run to the multi-run artifact, converting the legacy
+    single-run format ({cases, verdict} at top level) if present."""
+    art = {"batch_mb": batch_mb, "runs": []}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        if "runs" in prev:
+            art = prev
+        elif "cases" in prev:  # legacy single-run format
+            art["runs"] = [{"label": "legacy", "cases": prev["cases"],
+                            "verdict": prev["verdict"]}]
+    art["runs"].append(run)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+    return art
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--microbatch", type=int, default=128)
@@ -37,6 +59,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--out", default="bench_artifacts/transfer_overlap.json")
+    ap.add_argument("--label", default=None,
+                    help="run label (default: derived from idle put MB/s)")
     args = ap.parse_args()
 
     import jax
@@ -145,10 +169,14 @@ def main():
             results["cases"]["put_chunk_seq"]["s"]
             / results["cases"]["put_chunk_par8"]["s"], 2),
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
-    print("wrote", args.out)
+    label = args.label or (
+        f"idle {results['cases']['put_idle']['MB_s']} MB/s"
+    )
+    run = {"label": label, "cases": results["cases"],
+           "verdict": results["verdict"]}
+    art = append_run(args.out, results["batch_mb"], run)
+    print(f"appended run '{label}' -> {args.out} "
+          f"({len(art['runs'])} runs total)")
 
 
 if __name__ == "__main__":

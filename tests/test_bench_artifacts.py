@@ -349,10 +349,15 @@ class TestPallasParity:
 
 class TestTransferOverlap:
     """Transfer-overlap dissection artifact (VERDICT r3 #8;
-    scripts/bench_transfer_overlap.py on the tunneled v5e).  Pins the
-    measured conclusion: the tunnel SERIALIZES transfer RPCs, so threaded
-    puts lose and compute does not overlap transfer — the 0.66 host-pipeline
-    overlap efficiency is a link property, not a pipeline bug."""
+    scripts/bench_transfer_overlap.py on the tunneled v5e).  The artifact
+    holds one run per observed LINK REGIME, because round 4 found the
+    parallel-put verdict is a property of the tunnel's state, not of the
+    pipeline: on the healthy link (idle 8.8 MB/s) RPCs serialize and
+    threaded puts lose 0.74x; on a degraded link (idle 4.0 MB/s) per-chunk
+    RPC pipelining wins 1.46x.  What holds in EVERY regime — and what the
+    pipeline adopts by default — is that sequential chunked puts never
+    lose to a monolithic put (PECLR_PUT_CHUNKS/PECLR_PUT_THREADS opt into
+    the parallel strategy where a deployment's link rewards it)."""
 
     ARTIFACT = os.path.join(
         os.path.dirname(__file__), "..", "bench_artifacts",
@@ -367,16 +372,28 @@ class TestTransferOverlap:
         with open(self.ARTIFACT) as f:
             return json.load(f)
 
-    def test_parallel_puts_do_not_help(self, ov):
-        # >1 would mean threading transfers helps and the host pipeline
-        # should be restructured; measured: the tunnel serializes RPCs
-        assert ov["verdict"]["parallel_put_speedup"] < 1.05
+    def test_both_link_regimes_recorded(self, ov):
+        # the non-replication is the finding: keep >=1 run per regime
+        speedups = [r["verdict"]["parallel_put_speedup"] for r in ov["runs"]]
+        assert any(s < 1.0 for s in speedups), "healthy-link run missing"
+        assert any(s > 1.0 for s in speedups), "degraded-link run missing"
 
-    def test_chunked_sequential_put_is_best_and_modest(self, ov):
-        c = ov["cases"]
-        assert c["put_chunk_seq"]["s"] <= c["put_idle"]["s"] * 1.02
-        # the best strategy buys <25%: no large pipeline win was left unclaimed
-        assert c["put_chunk_seq"]["s"] > c["put_idle"]["s"] * 0.75
+    def test_chunked_sequential_put_never_loses(self, ov):
+        # the adopted default strategy: within noise of (or better than)
+        # the monolithic put in EVERY observed regime
+        for run in ov["runs"]:
+            c = run["cases"]
+            assert c["put_chunk_seq"]["s"] <= c["put_idle"]["s"] * 1.05, (
+                run["label"])
+
+    def test_no_large_unclaimed_pipeline_win(self, ov):
+        # in every regime the best strategy buys <=2x over the adopted
+        # default — the feeding pipeline is link-bound, not strategy-bound
+        for run in ov["runs"]:
+            c = run["cases"]
+            best = min(v["s"] for k, v in c.items() if k.startswith("put_")
+                       and "s" in v and k != "put_during_step")
+            assert c["put_chunk_seq"]["s"] <= best * 2.0, run["label"]
 
 
 class TestServingLatency:
@@ -426,3 +443,46 @@ class TestServingLatency:
         for r in sl["rows"]:
             assert r["sync_ms_p99"] >= r["sync_ms_p50"]
             assert r["sync_ms_p50"] < 1000.0, r
+
+
+class TestTransferOverlapAppend:
+    """scripts/bench_transfer_overlap.py append_run: the multi-run artifact
+    grows one entry per link regime, and a legacy single-run file ({cases,
+    verdict} top-level) is converted, not clobbered."""
+
+    @staticmethod
+    def _load_append():
+        import importlib.util
+
+        path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                            "bench_transfer_overlap.py")
+        spec = importlib.util.spec_from_file_location(
+            "bench_transfer_overlap", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.append_run
+
+    def test_appends_and_converts_legacy(self, tmp_path):
+        append_run = self._load_append()
+        out = str(tmp_path / "ov.json")
+        legacy = {"batch_mb": 1.0,
+                  "cases": {"put_idle": {"s": 2.0}},
+                  "verdict": {"parallel_put_speedup": 0.9}}
+        with open(out, "w") as f:
+            json.dump(legacy, f)
+        run = {"label": "new", "cases": {"put_idle": {"s": 1.0}},
+               "verdict": {"parallel_put_speedup": 1.2}}
+        art = append_run(out, 1.0, run)
+        assert [r["label"] for r in art["runs"]] == ["legacy", "new"]
+        assert art["runs"][0]["verdict"]["parallel_put_speedup"] == 0.9
+        # second append extends, does not re-convert
+        art2 = append_run(out, 1.0, dict(run, label="third"))
+        assert [r["label"] for r in art2["runs"]] == ["legacy", "new", "third"]
+        with open(out) as f:
+            assert len(json.load(f)["runs"]) == 3
+
+    def test_fresh_file(self, tmp_path):
+        append_run = self._load_append()
+        out = str(tmp_path / "ov.json")
+        art = append_run(out, 5.0, {"label": "a", "cases": {}, "verdict": {}})
+        assert art["batch_mb"] == 5.0 and len(art["runs"]) == 1

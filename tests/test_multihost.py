@@ -62,3 +62,26 @@ def test_device_prefetch_routes_through_multihost(mesh):
 
 def test_local_batch_size_single_process():
     assert local_batch_size(128) == 128 // jax.process_count()
+
+
+@pytest.mark.parametrize("chunks,threads", [(4, 1), (4, 4)])
+def test_device_prefetch_chunked_put_strategies(monkeypatch, chunks, threads):
+    """PECLR_PUT_CHUNKS/PECLR_PUT_THREADS (transfer_overlap.json's adopted
+    knobs) must reproduce the plain put bit-exactly: chunk-split along axis
+    0, per-chunk puts (optionally threaded), device-side reassembly."""
+    monkeypatch.setenv("PECLR_PUT_CHUNKS", str(chunks))
+    monkeypatch.setenv("PECLR_PUT_THREADS", str(threads))
+    rng = np.random.default_rng(0)
+    batches = [
+        {
+            "image": rng.integers(0, 255, (10, 4, 4, 3)).astype(np.uint8),
+            "scalar": np.float32(1.5),          # ndim 0: plain put
+            "tiny": np.arange(2, dtype=np.int32),  # rows < chunks: plain put
+        }
+        for _ in range(2)
+    ]
+    out = list(device_prefetch(iter(batches)))
+    assert len(out) == 2
+    for got, want in zip(out, batches):
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k])

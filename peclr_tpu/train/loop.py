@@ -5,6 +5,15 @@ metric aggregation (`checkpoint_saving_loss` parity with
 base_model.py:106-115), top-k checkpointing, optional auto-resume (the
 reference leaves resume manual — SURVEY §5.3 — here it is wired in), and
 throughput/profiler observability.
+
+Resume semantics: interrupt-at-an-epoch-boundary + resume is BIT-EQUAL to
+uninterrupted training (tests/test_end_to_end.py::
+test_resume_trajectory_equivalence): the step RNG is keyed by the absolute
+step index (`fold_in(key, epoch*steps_per_epoch+i)`), the pipeline's batch
+stream is keyed by `epoch`, and checkpoints carry the full TrainState.
+A MID-epoch interrupt resumes from the last completed epoch's checkpoint
+and deterministically REPLAYS the partial epoch (same batches, same keys);
+no optimizer step is ever half-applied or double-applied.
 """
 
 from __future__ import annotations

@@ -92,6 +92,11 @@ def main():
                     round(img_per_sec / BASELINE_IMG_PER_SEC, 3)
                     if resnet == "50" else None
                 ),
+                # estimator methodology (ADVICE r4): min-of-W windows of N
+                # chained iters, adopted round 4 — best-window readings are
+                # ~0.3-1% above the round-<=3 single-window numbers; compare
+                # like with like (BENCHLOG "estimator" note)
+                "estimator": f"min_of_{windows}_windows_x_{iters}_iters",
             }
         )
     )

@@ -253,16 +253,22 @@ def _make_put_fn(mesh=None):
 
     import jax.numpy as jnp
 
+    # one pool for the put fn's lifetime (ADVICE r4: per-leaf pool
+    # construction/teardown sat on the prefetch hot path); idle workers are
+    # reaped by concurrent.futures' interpreter-exit hook
+    pool = None
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(threads)
+
     def put_leaf(x):
         x = np.asarray(x)
         if x.ndim == 0 or x.shape[0] < chunks:
             return jax.device_put(x)
         parts = np.array_split(x, chunks, axis=0)
-        if threads > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(threads) as ex:
-                moved = list(ex.map(jax.device_put, parts))
+        if pool is not None:
+            moved = list(pool.map(jax.device_put, parts))
         else:
             moved = [jax.device_put(p) for p in parts]
         return jnp.concatenate(moved, axis=0)

@@ -35,16 +35,27 @@ import numpy as np
 
 def append_run(out_path, batch_mb, run):
     """Append a run to the multi-run artifact, converting the legacy
-    single-run format ({cases, verdict} at top level) if present."""
+    single-run format ({cases, verdict} at top level) if present.
+
+    batch_mb is stored PER RUN (ADVICE r4: the top-level value went stale
+    when a later run measured a different --microbatch); the top-level key
+    is kept for old consumers but always reflects the newest run."""
     art = {"batch_mb": batch_mb, "runs": []}
     if os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)
         if "runs" in prev:
             art = prev
+            art["batch_mb"] = batch_mb
         elif "cases" in prev:  # legacy single-run format
-            art["runs"] = [{"label": "legacy", "cases": prev["cases"],
-                            "verdict": prev["verdict"]}]
+            legacy = {"label": "legacy", "cases": prev["cases"]}
+            if "verdict" in prev:
+                legacy["verdict"] = prev["verdict"]
+            if "batch_mb" in prev:
+                legacy["batch_mb"] = prev["batch_mb"]
+            art["runs"] = [legacy]
+    run = dict(run)
+    run.setdefault("batch_mb", batch_mb)
     art["runs"].append(run)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

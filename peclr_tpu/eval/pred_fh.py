@@ -137,6 +137,30 @@ def predict_leaderboard(
     xyz_out = []
     img_dir = os.path.join(base_path, set_name, "rgb")
     names = sorted(os.listdir(img_dir))
+
+    # Pipelined dispatch (VERDICT r4 weak #6): jax dispatch is async, so
+    # keep `depth` batches in flight and fetch the OLDEST only after the
+    # next dispatch is queued — decode of batch i+1 and the host fetch of
+    # batch i then overlap batch i+1's device execution instead of
+    # serializing with it (the round-4 loop fetched before dispatching,
+    # capping wall throughput at 48% of the device bound on the tunnel;
+    # A/B in bench_artifacts/pred_pipeline.json).  PECLR_PRED_PIPELINE=1
+    # restores strict serial dispatch.
+    depth = max(int(os.environ.get("PECLR_PRED_PIPELINE", "2")), 1)
+    from collections import deque
+
+    pending: deque = deque()
+
+    def drain_one():
+        idx, pad, arr = pending.popleft()
+        kp3d = np.asarray(arr)
+        if pad:
+            kp3d = kp3d[:-pad]
+        for j, i in enumerate(idx):
+            out = kp3d[j][ait_to_zimmermann] * scale_list[i]
+            assert not np.any(np.isnan(out)), f"NaN at index {i}"
+            xyz_out.append(out.tolist())
+
     for start in range(0, n, batch_size):
         idx = range(start, min(start + batch_size, n))
         imgs = np.stack([decode_image(os.path.join(img_dir, names[i])) for i in idx])
@@ -145,13 +169,11 @@ def predict_leaderboard(
         if pad:  # keep the jit shape static
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
             K = np.concatenate([K, np.repeat(K[-1:], pad, 0)])
-        kp3d = np.asarray(predict(jnp.asarray(imgs), jnp.asarray(K)))
-        if pad:
-            kp3d = kp3d[:-pad]
-        for j, i in enumerate(idx):
-            out = kp3d[j][ait_to_zimmermann] * scale_list[i]
-            assert not np.any(np.isnan(out)), f"NaN at index {i}"
-            xyz_out.append(out.tolist())
+        pending.append((idx, pad, predict(jnp.asarray(imgs), jnp.asarray(K))))
+        if len(pending) >= depth:
+            drain_one()
+    while pending:
+        drain_one()
 
     verts_out = [np.zeros((778, 3)).tolist()] * len(xyz_out)
     os.makedirs(out_dir, exist_ok=True)

@@ -100,6 +100,7 @@ def run_finetune(args):
     if args.trace:
         print(f"xplane trace -> {args.trace}")
     print(f"finetune {dt * 1e3:8.2f} ms/step   {args.batch / dt:8.0f} img/s")
+    return dt
 
 
 def run_pred(args):
@@ -138,6 +139,7 @@ def run_pred(args):
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
     print(f"pred     {dt * 1e3:8.2f} ms/step   {args.batch / dt:8.0f} img/s")
+    return dt
 
 
 def main():

@@ -25,7 +25,7 @@ from peclr_tpu.eval.evaluate import evaluate, supervised_sample_batch
 def fh_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("freihand_eval"))
     generate_freihand_like(root, num_unique=16, seed=2)
-    generate_freihand_eval_like(root, num_images=6, seed=4)
+    generate_freihand_eval_like(root, num_images=10, seed=4)
     return root
 
 
@@ -242,3 +242,29 @@ class TestPredFH:
         assert np.asarray(xyz[0]).shape == (21, 3)
         assert os.path.exists(out.replace(".json", ".zip"))
         assert np.isfinite(np.asarray(xyz)).all()
+
+    def test_pipelined_dispatch_matches_serial(self, fh_root, tmp_path,
+                                               monkeypatch):
+        """PECLR_PRED_PIPELINE keeps batches in flight (VERDICT r4 #4) but
+        must be a pure scheduling change: depth 1 (strict serial fetch) and
+        depth 3 produce byte-identical CodaLab json, including across the
+        ragged final batch."""
+        from peclr_tpu.models import RN25DPose
+        from peclr_tpu.eval.pred_fh import predict_leaderboard
+
+        model = RN25DPose(size="50")
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+        )
+        outs = {}
+        # batch 4 over 10 images: 3 batches, last one ragged (pad 2)
+        for depth in ("1", "3"):
+            monkeypatch.setenv("PECLR_PRED_PIPELINE", depth)
+            path = predict_leaderboard(
+                model, variables, fh_root, f"depth{depth}", batch_size=4,
+                limit=10, out_dir=str(tmp_path),
+            )
+            with open(path) as f:
+                outs[depth] = f.read()
+        assert outs["1"] == outs["3"]
+        assert len(json.loads(outs["1"])[0]) == 10

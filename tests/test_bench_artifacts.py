@@ -486,3 +486,63 @@ class TestTransferOverlapAppend:
         out = str(tmp_path / "ov.json")
         art = append_run(out, 5.0, {"label": "a", "cases": {}, "verdict": {}})
         assert art["batch_mb"] == 5.0 and len(art["runs"]) == 1
+
+
+class TestBenchGuard:
+    """Perf regression guard artifact (scripts/bench_guard.py, VERDICT r4
+    next #5): all four phases re-measured on the real chip must hold the
+    frozen-by-argument throughput within the day-spread band, and the
+    artifact must be FRESH — if any device hot-path source changed since
+    the guard last ran, this suite flags the artifact as stale so a
+    refactor can't silently eat the 3,9xx."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts", "bench_guard.json"
+    )
+
+    @staticmethod
+    def _guard_mod():
+        import importlib.util
+
+        path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                            "bench_guard.py")
+        spec = importlib.util.spec_from_file_location("bench_guard", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @pytest.fixture(scope="class")
+    def guard(self):
+        if not os.path.exists(self.ARTIFACT):
+            pytest.fail("bench_guard.json missing — run "
+                        "scripts/bench_guard.py on the TPU")
+        with open(self.ARTIFACT) as f:
+            return json.load(f)
+
+    def test_ran_on_tpu_and_all_phases_pass(self, guard):
+        assert guard["backend"] == "tpu"
+        assert guard["ok"] is True
+        assert set(guard["phases"]) == {
+            "pretrain_rn50", "pretrain_rn152", "finetune", "pred",
+        }
+        for name, p in guard["phases"].items():
+            assert p["pass"] and p["ratio"] >= guard["band"], (name, p)
+
+    def test_references_match_benchlog_round4(self, guard):
+        refs = {k: p["reference_img_per_sec"]
+                for k, p in guard["phases"].items()}
+        assert refs["pretrain_rn50"] == pytest.approx(3907.0)
+        assert refs["pretrain_rn152"] == pytest.approx(2072.6)
+        assert refs["finetune"] == pytest.approx(2413.0)
+        assert refs["pred"] == pytest.approx(2670.0)
+
+    def test_artifact_is_fresh_vs_hot_path_sources(self, guard):
+        """Recompute the hot-path hash over the working tree: a mismatch
+        means device-hot-path code changed after the guard last ran — the
+        committed numbers no longer describe this tree.  Re-run
+        scripts/bench_guard.py on the chip."""
+        mod = self._guard_mod()
+        assert guard["hot_path_hash"] == mod.hot_path_hash(), (
+            "bench_guard.json is STALE: hot-path sources changed since the "
+            "guard ran — re-run scripts/bench_guard.py on the TPU"
+        )

@@ -193,6 +193,47 @@ def finetune_and_eval(encoder_vars, pool_train, pool_val, steps, batch, seed,
     return results, final_vars, model
 
 
+def pth_roundtrip(encoder_vars, resnet, path):
+    """Export the pretrained encoder to a REAL torchvision-format .pth
+    (torch.save), re-import it through the port tables, and hand back
+    variables whose backbone went through the interop seam (VERDICT r4 #6;
+    reference port tool: src/models/port_model.py:7-48, README.md:59-70).
+
+    The projection head is NOT in a torchvision .pth (the reference port
+    leaves fc untouched); it is carried over from the original variables —
+    downstream finetuning discards it anyway (load_pretrained_encoder only
+    copies the encoder into the RN25D backbone)."""
+    import flax
+    import torch
+
+    from peclr_tpu.models import port
+    from peclr_tpu.train.checkpoint import load_torch_checkpoint
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tv = port.peclr_to_torchvision(encoder_vars, resnet)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in tv.items()},
+               path)
+    sd = load_torch_checkpoint(path)
+    enc = port.torchvision_to_peclr_encoder(sd, resnet)
+
+    flat = flax.traverse_util.flatten_dict(encoder_vars)
+    rt = flax.traverse_util.flatten_dict(enc)
+    bitexact = all(
+        k in flat and np.array_equal(np.asarray(flat[k]), np.asarray(v))
+        for k, v in rt.items()
+    )
+    merged = dict(flat)
+    merged.update(rt)
+    meta = {
+        "pth_path": path,
+        "pth_bytes": os.path.getsize(path),
+        "torch_keys": len(sd),
+        "encoder_bitexact": bool(bitexact),
+        "roundtripped_leaves": len(rt),
+    }
+    return flax.traverse_util.unflatten_dict(merged), meta
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/peclr_synth_fh")
@@ -256,6 +297,7 @@ def main():
 
     rows = []
     pred_json = None
+    rt_meta = None
     for name, _, psteps in kinds_at:
         print(f"== encoder {name} (pretrain steps {psteps})")
         results, final_vars, model = finetune_and_eval(
@@ -280,11 +322,34 @@ def main():
             )
             print(f"  pred_fh -> {pred_json} (+ .zip)")
 
+            # interop seam ON the accuracy path (VERDICT r4 #6): export the
+            # trained encoder to a real .pth, re-import, finetune again with
+            # identical seeds — the chain's numbers must not move
+            rt_vars, rt_meta = pth_roundtrip(
+                encoders["peclr_full"], args.resnet,
+                "/tmp/chain_out/peclr_encoder_tv.pth",
+            )
+            print(f"== encoder peclr_full via .pth round trip "
+                  f"(bitexact={rt_meta['encoder_bitexact']})")
+            results_rt, _, _ = finetune_and_eval(
+                rt_vars, pool_ft, pool_val, args.finetune_steps,
+                args.batch, args.seed, args.crop, args.resnet,
+                freeze_encoder=args.freeze_encoder,
+            )
+            rows.append({
+                "encoder": "peclr_full_pth_roundtrip",
+                "pretrain_steps": psteps,
+                **{k: float(v) for k, v in results_rt.items()},
+            })
+            print(f"  AUC_procrustes={results_rt['auc_procrustes']:.4f} "
+                  f"(direct {results['auc_procrustes']:.4f})")
+
     artifact = {
         "config": {k: v for k, v in vars(args).items() if k != "out"},
         "backend": __import__("jax").default_backend(),
         "rows": rows,
         "pred_fh_json": pred_json,
+        "port_roundtrip": rt_meta,
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

@@ -52,16 +52,22 @@ def main():
     )
     predict = make_two_pass_predictor(model, variables)
 
-    # distinct host batches so every dispatch ships fresh bytes (as the
-    # real loop does); pre-decoded to isolate dispatch pipelining
+    # DEVICE-RESIDENT distinct batches: on this tunnel, shipping fresh
+    # image bytes per dispatch is transfer-bound (~19 MB/batch over a
+    # single-digit-MB/s link — measured 149 img/s at ANY depth, pure link
+    # artifact; a PCIe host DMAs at GB/s).  The quantity under test is the
+    # dispatch/fetch ordering, so inputs are pre-staged in HBM and only
+    # the kp3d fetch (32 KB) crosses the link inside the loop — exactly
+    # the serialization the round-4 predictor suffered.
     rng = np.random.default_rng(0)
     base = synthetic_supervised_batch(args.batch)
     imgs0 = np.asarray(base["image"])
-    K = np.asarray(base["K"])
-    host_batches = [
-        (imgs0 + rng.integers(0, 3, imgs0.shape, dtype=np.uint8), K)
+    K_dev = jnp.asarray(base["K"])
+    dev_batches = [
+        jnp.asarray(imgs0 + rng.integers(0, 3, imgs0.shape, dtype=np.uint8))
         for _ in range(args.num_batches)
     ]
+    jax.block_until_ready(dev_batches)
 
     def run_loop(depth: int) -> float:
         """predict_leaderboard's loop shape: dispatch, keep `depth` in
@@ -69,8 +75,8 @@ def main():
         pending: deque = deque()
         sink = []
         t0 = time.perf_counter()
-        for imgs, k in host_batches:
-            pending.append(predict(jnp.asarray(imgs), jnp.asarray(k)))
+        for imgs in dev_batches:
+            pending.append(predict(imgs, K_dev))
             if len(pending) >= depth:
                 sink.append(np.asarray(pending.popleft())[0, 0, 0])
         while pending:
@@ -80,7 +86,7 @@ def main():
         return dt
 
     # compile + warmup
-    np.asarray(predict(jnp.asarray(host_batches[0][0]), jnp.asarray(K)))
+    np.asarray(predict(dev_batches[0], K_dev))
 
     depths = [int(d) for d in args.depths.split(",")]
     results = {}

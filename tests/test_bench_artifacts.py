@@ -546,3 +546,37 @@ class TestBenchGuard:
             "bench_guard.json is STALE: hot-path sources changed since the "
             "guard ran — re-run scripts/bench_guard.py on the TPU"
         )
+
+
+class TestPredPipeline:
+    """pred_fh dispatch-pipelining A/B (scripts/bench_pred_pipeline.py,
+    VERDICT r4 next #4): keeping batches in flight must recover the
+    tunnel's dispatch gap — >=0.8x of the device bound at the default
+    depth, vs 0.44x for the round-4 serial fetch-then-dispatch loop."""
+
+    ARTIFACT = os.path.join(
+        os.path.dirname(__file__), "..", "bench_artifacts",
+        "pred_pipeline.json",
+    )
+
+    @pytest.fixture(scope="class")
+    def pp(self):
+        with open(self.ARTIFACT) as f:
+            return json.load(f)
+
+    def test_ran_on_tpu_with_serial_reference(self, pp):
+        assert pp["backend"] == "tpu"
+        assert "1" in pp["depths"] and str(pp["best_depth"]) in pp["depths"]
+        assert pp["best_depth"] >= 2
+
+    def test_pipelining_recovers_the_dispatch_gap(self, pp):
+        assert pp["speedup_vs_serial"] >= 1.5, pp
+        assert pp["fraction_of_device_bound"] >= 0.8, pp
+
+    def test_device_bound_matches_round4_trace(self, pp):
+        # 23.0 ms busy per batch-128 two-pass (hlo_stats_pred_r4, judge-
+        # recomputed) -> 5,565 img/s
+        assert pp["device_busy_ms_per_batch"] == pytest.approx(23.0)
+        assert pp["device_bound_img_per_sec"] == pytest.approx(
+            pp["batch"] / 0.023, rel=1e-3
+        )

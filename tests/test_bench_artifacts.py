@@ -526,7 +526,7 @@ class TestBenchGuard:
             "pretrain_rn50", "pretrain_rn152", "finetune", "pred",
         }
         for name, p in guard["phases"].items():
-            assert p["pass"] and p["ratio"] >= guard["band"], (name, p)
+            assert p["pass"] and p["ratio"] >= p["band"], (name, p)
 
     def test_references_match_benchlog_round4(self, guard):
         refs = {k: p["reference_img_per_sec"]
@@ -535,6 +535,14 @@ class TestBenchGuard:
         assert refs["pretrain_rn152"] == pytest.approx(2072.6)
         assert refs["finetune"] == pytest.approx(2413.0)
         assert refs["pred"] == pytest.approx(2670.0)
+        # pretrain steps amortize the tunnel dispatch gap (band 0.98); the
+        # ~50/25 ms phases carry the gap's day swing (band 0.90, with the
+        # trace-anchored device busy recorded for diagnosis — BENCHLOG r5)
+        bands = {k: p["band"] for k, p in guard["phases"].items()}
+        assert bands == {"pretrain_rn50": 0.98, "pretrain_rn152": 0.98,
+                         "finetune": 0.90, "pred": 0.90}
+        for k in ("finetune", "pred"):
+            assert guard["phases"][k]["implied_gap_ms"] < 15.0
 
     def test_artifact_is_fresh_vs_hot_path_sources(self, guard):
         """Recompute the hot-path hash over the working tree: a mismatch

@@ -28,6 +28,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # 'python scripts/bench_guard.py' must find peclr_tpu
 
 # References (BENCHLOG round-4 serial queue, chained-dispatch estimator)
 # with PER-PHASE acceptance bands (measured >= band * reference):

@@ -101,6 +101,7 @@ def main():
 
     device_bound = args.batch / (DEVICE_BUSY_MS_PER_BATCH128 / 1e3)
     best_depth = max(results, key=lambda d: results[d]["img_per_sec"])
+    serial = results.get("1")  # absent when --depths skips the baseline
     record = {
         "backend": jax.default_backend(),
         "batch": args.batch,
@@ -110,8 +111,9 @@ def main():
         "device_busy_ms_per_batch": DEVICE_BUSY_MS_PER_BATCH128,
         "depths": results,
         "best_depth": int(best_depth),
-        "speedup_vs_serial": round(
-            results[best_depth]["img_per_sec"] / results["1"]["img_per_sec"], 3
+        "speedup_vs_serial": (
+            round(results[best_depth]["img_per_sec"] / serial["img_per_sec"], 3)
+            if serial else None
         ),
         "fraction_of_device_bound": round(
             results[best_depth]["img_per_sec"] / device_bound, 3

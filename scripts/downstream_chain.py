@@ -218,8 +218,13 @@ def pth_roundtrip(encoder_vars, resnet, path):
 
     flat = flax.traverse_util.flatten_dict(encoder_vars)
     rt = flax.traverse_util.flatten_dict(enc)
-    bitexact = all(
-        k in flat and np.array_equal(np.asarray(flat[k]), np.asarray(v))
+    # bidirectional: every round-tripped leaf must match the original AND
+    # every encoder leaf of the original must have come back (a port table
+    # silently dropping leaves would otherwise be masked by the merge
+    # below backfilling from the in-memory weights)
+    expected = {k for k in flat if len(k) > 1 and k[1] == "encoder"}
+    bitexact = set(rt) == expected and all(
+        np.array_equal(np.asarray(flat[k]), np.asarray(v))
         for k, v in rt.items()
     )
     merged = dict(flat)

@@ -162,8 +162,12 @@ def worker(args):
     jax.distributed.shutdown()
 
 
-def single_process_reference():
-    """The same program, one process, 8 virtual devices."""
+def single_process_reference(out_path=None):
+    """The same program, one process, 8 virtual devices.
+
+    Runs in a SANITIZED subprocess when invoked through launch() — the
+    launcher's own ambient env may pin jax to the 1-device TPU tunnel,
+    which cannot host the 8-device reference mesh."""
     import jax
 
     from peclr_tpu.parallel.mesh import make_mesh, shard_batch
@@ -172,7 +176,11 @@ def single_process_reference():
     state, step = _setup()
     state = _replicate_global(mesh, jax.device_get(state))
     batch = shard_batch(mesh, _batch_numpy())
-    return _run_steps(mesh, state, step, batch)
+    losses = _run_steps(mesh, state, step, batch)
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({"losses": losses}, fh)
+    return losses
 
 
 def _free_port():
@@ -227,7 +235,28 @@ def launch(args):
     if ok:
         results = [json.load(open(o)) for o in outs]
         record["workers"] = results
-        ref = single_process_reference()
+        # single-process reference in the SAME sanitized env (the launcher
+        # itself may sit on the 1-device TPU tunnel)
+        ref_out = os.path.join(tmp, "multihost_ref.json")
+        env_ref = dict(env)
+        env_ref["XLA_FLAGS"] = env["XLA_FLAGS"].replace(
+            "device_count=4", "device_count=8"
+        )
+        refp = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-ref",
+             "--out", ref_out],
+            env=env_ref, capture_output=True, text=True,
+            timeout=args.timeout,
+        )
+        if refp.returncode != 0:
+            record["ok"] = False
+            record["blocker"] = [
+                "single-process reference failed:",
+                (refp.stdout + refp.stderr)[-4000:],
+            ]
+            _finish(record, args, logs)
+            return
+        ref = json.load(open(ref_out))["losses"]
         record["single_process_losses"] = ref
         same = all(
             abs(w - r) <= 2e-5 * abs(r)
@@ -242,6 +271,10 @@ def launch(args):
     else:
         record["ok"] = False
         record["blocker"] = [l[-4000:] for l in logs]
+    _finish(record, args, logs)
+
+
+def _finish(record, args, logs):
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as fh:
@@ -267,6 +300,10 @@ def pytest_approx_list(xs, rel=1e-6):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--single-ref", action="store_true",
+                    help="run the single-process 8-device reference and "
+                    "write {losses} to --out (spawned by the launcher in "
+                    "a sanitized env)")
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--coord", default="localhost:9987")
@@ -276,6 +313,8 @@ def main():
     args = ap.parse_args()
     if args.worker:
         worker(args)
+    elif args.single_ref:
+        single_process_reference(out_path=args.out)
     else:
         launch(args)
 

@@ -67,7 +67,12 @@ def test_every_curve_artifact_is_whitelisted_and_complete():
     """GLOB guard (VERDICT r4 weak #2): the completeness check used to run
     only on whitelisted names, so a partial artifact could sit in the tree
     uncovered.  Now EVERY accuracy_curves_*.json must be complete AND in
-    CURVES (so it gets the full assertion battery)."""
+    CURVES (so it gets the full assertion battery).
+
+    Completeness is checked STRUCTURALLY, not just via the writer's
+    `complete` flag (artifacts predating the flag omit it, and a truncated
+    file would too): both model kinds present, and each probe curve must
+    reach the configured final step."""
     paths = sorted(glob.glob(os.path.join(_DIR, "accuracy_curves_*.json")))
     assert paths, "no curve artifacts committed"
     whitelisted = {f"accuracy_curves_{name}.json" for name, _ in CURVES}
@@ -75,7 +80,17 @@ def test_every_curve_artifact_is_whitelisted_and_complete():
         base = os.path.basename(path)
         with open(path) as fh:
             d = json.load(fh)
-        assert d.get("complete", True), f"{base}: partial artifact committed"
+        assert d.get("complete", True) is not False, (
+            f"{base}: partial artifact committed"
+        )
+        assert set(d["curves"]) >= {"peclr", "simclr"}, base
+        for kind in ("peclr", "simclr"):
+            probe = d["curves"][kind]["probe"]
+            assert probe[0]["step"] == 0, (base, kind)
+            assert probe[-1]["step"] == d["config"]["steps"], (
+                f"{base}: {kind} probe curve stops at step "
+                f"{probe[-1]['step']} of {d['config']['steps']} — truncated"
+            )
         assert base in whitelisted, (
             f"{base} is not covered by CURVES — add it so the curve "
             "assertions run on it"

@@ -40,6 +40,34 @@ TARGET_DIST = 0.7
 BORDER_FILL = 0.485
 
 
+def _host_prefetch(gen, buffer_size: int = 2):
+    """Run a host-side generator in a producer thread (bounded queue) so
+    its work — JPEG decode here — overlaps the consumer's device wait.
+    Exceptions in the producer re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _SENTINEL = object()
+
+    def producer():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_SENTINEL)
+        except BaseException as e:  # surface decode errors to the consumer
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def initial_affine(crop_size: int = CROP_SIZE) -> np.ndarray:
     """The shared pass-1 transform: full-frame bbox scaled by 0.33."""
     bbox = jnp.asarray([0.0, 0.0, float(crop_size), float(crop_size)])
@@ -145,9 +173,29 @@ def predict_leaderboard(
     # serializing with it (the round-4 loop fetched before dispatching,
     # capping wall throughput at 48% of the device bound on the tunnel;
     # A/B in bench_artifacts/pred_pipeline.json).  PECLR_PRED_PIPELINE=1
-    # restores strict serial dispatch.
+    # restores strict serial dispatch.  JPEG decode runs in a background
+    # producer thread (PECLR_PRED_DECODE_PREFETCH=0 reverts to inline) so
+    # host decode overlaps the in-flight device batch too — pure
+    # scheduling either way, output is byte-identical (CI-asserted).
     depth = max(int(os.environ.get("PECLR_PRED_PIPELINE", "2")), 1)
     from collections import deque
+
+    def decoded_batches():
+        for start in range(0, n, batch_size):
+            idx = range(start, min(start + batch_size, n))
+            imgs = np.stack(
+                [decode_image(os.path.join(img_dir, names[i])) for i in idx]
+            )
+            pad = batch_size - len(imgs)
+            K = K_list[list(idx)]
+            if pad:  # keep the jit shape static
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+                K = np.concatenate([K, np.repeat(K[-1:], pad, 0)])
+            yield idx, pad, imgs, K
+
+    batches = decoded_batches()
+    if os.environ.get("PECLR_PRED_DECODE_PREFETCH", "1") != "0":
+        batches = _host_prefetch(batches, buffer_size=2)
 
     pending: deque = deque()
 
@@ -161,14 +209,7 @@ def predict_leaderboard(
             assert not np.any(np.isnan(out)), f"NaN at index {i}"
             xyz_out.append(out.tolist())
 
-    for start in range(0, n, batch_size):
-        idx = range(start, min(start + batch_size, n))
-        imgs = np.stack([decode_image(os.path.join(img_dir, names[i])) for i in idx])
-        pad = batch_size - len(imgs)
-        K = K_list[list(idx)]
-        if pad:  # keep the jit shape static
-            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
-            K = np.concatenate([K, np.repeat(K[-1:], pad, 0)])
+    for idx, pad, imgs, K in batches:
         pending.append((idx, pad, predict(jnp.asarray(imgs), jnp.asarray(K))))
         if len(pending) >= depth:
             drain_one()

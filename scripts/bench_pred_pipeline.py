@@ -25,12 +25,59 @@ import numpy as np
 DEVICE_BUSY_MS_PER_BATCH128 = 23.0  # hlo_stats_pred_r4.json.gz (judge-verified)
 
 
+def run_end_to_end(args, model, variables):
+    """Full predict_leaderboard wall (JPEG decode -> two-pass -> CodaLab
+    json) on a synthetic eval split, serial (round-4 behavior:
+    PECLR_PRED_PIPELINE=1 + inline decode) vs pipelined defaults.  On this
+    tunnel the host->device image transfer bounds both configs; the A/B
+    shows what decode/dispatch overlap recovers on top of it."""
+    import tempfile
+
+    from peclr_tpu.data.synthetic import generate_freihand_eval_like
+    from peclr_tpu.eval.pred_fh import predict_leaderboard
+
+    root = os.path.join(tempfile.gettempdir(), f"pred_e2e_{args.e2e}")
+    if not os.path.exists(os.path.join(root, "evaluation_K.json")):
+        print(f"generating {args.e2e} synthetic eval jpgs at {root}")
+        generate_freihand_eval_like(root, num_images=args.e2e, seed=11)
+
+    results = {}
+    for label, env in (
+        ("serial", {"PECLR_PRED_PIPELINE": "1",
+                    "PECLR_PRED_DECODE_PREFETCH": "0"}),
+        ("pipelined", {"PECLR_PRED_PIPELINE": "2",
+                       "PECLR_PRED_DECODE_PREFETCH": "1"}),
+    ):
+        os.environ.update(env)
+        # warmup run compiles + touches the page cache for both configs
+        predict_leaderboard(model, variables, root, f"warm_{label}",
+                            batch_size=args.batch, limit=args.batch,
+                            out_dir=tempfile.gettempdir())
+        t0 = time.perf_counter()
+        predict_leaderboard(model, variables, root, f"e2e_{label}",
+                            batch_size=args.batch,
+                            out_dir=tempfile.gettempdir())
+        dt = time.perf_counter() - t0
+        results[label] = {"wall_s": round(dt, 3),
+                          "img_per_sec": round(args.e2e / dt, 1)}
+        print(f"e2e {label}: {results[label]['img_per_sec']:,.1f} img/s")
+    results["speedup"] = round(
+        results["pipelined"]["img_per_sec"] / results["serial"]["img_per_sec"],
+        3,
+    )
+    results["num_images"] = args.e2e
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--num-batches", type=int, default=24)
     ap.add_argument("--depths", default="1,2,3")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--e2e", type=int, default=0,
+                    help="also run the full decode->predict->dump loop "
+                    "over N synthetic eval jpgs, serial vs pipelined")
     ap.add_argument("--out", default="bench_artifacts/pred_pipeline.json")
     args = ap.parse_args()
 
@@ -119,6 +166,8 @@ def main():
             results[best_depth]["img_per_sec"] / device_bound, 3
         ),
     }
+    if args.e2e:
+        record["end_to_end"] = run_end_to_end(args, model, variables)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(record, fh, indent=1)

@@ -257,9 +257,11 @@ class TestPredFH:
             jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
         )
         outs = {}
-        # batch 4 over 10 images: 3 batches, last one ragged (pad 2)
-        for depth in ("1", "3"):
+        # batch 4 over 10 images: 3 batches, last one ragged (pad 2);
+        # ("1", "0") = fully serial inline decode (the round-4 behavior)
+        for depth, prefetch in (("1", "0"), ("3", "1")):
             monkeypatch.setenv("PECLR_PRED_PIPELINE", depth)
+            monkeypatch.setenv("PECLR_PRED_DECODE_PREFETCH", prefetch)
             path = predict_leaderboard(
                 model, variables, fh_root, f"depth{depth}", batch_size=4,
                 limit=10, out_dir=str(tmp_path),

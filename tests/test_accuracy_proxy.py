@@ -48,3 +48,18 @@ def test_equivariant_beats_invariant():
     assert regime, "no 64px probe-regime records committed"
     primary = max(regime, key=lambda r: r["config"]["steps"])
     assert primary["epe_ratio_peclr_over_simclr"] < 0.97, primary
+
+
+def test_equivariant_wins_at_every_capacity_in_decisive_regime():
+    """The 64px regime spans all three backbone capacities (RN18/50/152,
+    round-5 on-chip runs): PeCLR's probe beats SimCLR's on EVERY committed
+    non-smoke record — ratios 0.90-0.99 (RN18), 0.79/0.88 (RN50), 0.97
+    (RN152).  This localizes the RN152 recipe-shape inversion
+    (test_accuracy_curves.py::test_recipe_shape_ordering_multiseed_rn152)
+    to that regime's saturated probes, not to encoder capacity per se."""
+    rs = [r for r in _records()
+          if r["config"]["view"] == 64 and r["config"]["steps"] >= 300]
+    sizes = {r["config"]["resnet"] for r in rs}
+    assert {"18", "50", "152"} <= sizes, sizes
+    for r in rs:
+        assert r["epe_ratio_peclr_over_simclr"] < 1.0, r["config"]

@@ -51,10 +51,12 @@ def test_equivariant_beats_invariant():
 
 
 def test_equivariant_wins_at_every_capacity_in_decisive_regime():
-    """The 64px regime spans all three backbone capacities (RN18/50/152,
-    round-5 on-chip runs): PeCLR's probe beats SimCLR's on EVERY committed
-    non-smoke record — ratios 0.90-0.99 (RN18), 0.79/0.88 (RN50), 0.97
-    (RN152).  This localizes the RN152 recipe-shape inversion
+    """The 64px regime spans all three backbone capacities at 3 seeds
+    each for the published sizes (round-5 on-chip runs): PeCLR's probe
+    beats SimCLR's on EVERY committed non-smoke record — RN18 0.90-0.99
+    (seeds 5/6), RN50 0.79/0.883/0.885/0.898 (seed 5 at 600+360 steps,
+    seeds 6/7), RN152 0.971/0.950/0.896 (seeds 5/6/7).  This localizes
+    the RN152 recipe-shape inversion
     (test_accuracy_curves.py::test_recipe_shape_ordering_multiseed_rn152)
     to that regime's saturated probes, not to encoder capacity per se."""
     rs = [r for r in _records()

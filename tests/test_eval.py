@@ -223,6 +223,30 @@ class TestFinetune:
         )
 
 
+class TestHostPrefetch:
+    """The leaderboard loop's background-decode helper: order-preserving,
+    and producer exceptions re-raise in the consumer instead of hanging."""
+
+    def test_preserves_order(self):
+        from peclr_tpu.eval.pred_fh import _host_prefetch
+
+        assert list(_host_prefetch(iter(range(17)), buffer_size=2)) == list(
+            range(17)
+        )
+
+    def test_producer_exception_reraises(self):
+        from peclr_tpu.eval.pred_fh import _host_prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("decode failed")
+
+        it = _host_prefetch(gen(), buffer_size=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="decode failed"):
+            list(it)
+
+
 class TestPredFH:
     def test_two_pass_leaderboard(self, fh_root, tmp_path):
         from peclr_tpu.models import RN25DPose
